@@ -1,0 +1,39 @@
+"""Test configuration: force an 8-device virtual CPU platform BEFORE jax init.
+
+Mirrors the reference's hardware-independent CPU test strategy
+(`tests/` run on CPU in CI; reference utils/model_utils.py:15 gates cuda),
+and additionally provides a virtual multi-device mesh so pjit/shard_map
+sharding is exercised without TPU hardware.
+"""
+
+import os
+
+os.environ.setdefault("JAX_PLATFORMS", "cpu")
+xla_flags = os.environ.get("XLA_FLAGS", "")
+if "xla_force_host_platform_device_count" not in xla_flags:
+    os.environ["XLA_FLAGS"] = (xla_flags + " --xla_force_host_platform_device_count=8").strip()
+
+import numpy as np  # noqa: E402
+import pytest  # noqa: E402
+
+
+@pytest.fixture(scope="session")
+def rng():
+    return np.random.default_rng(8888)
+
+
+@pytest.fixture(scope="session")
+def tiny_corpus(tmp_path_factory):
+    """A tiny caption corpus file shared across tokenizer/data tests."""
+    d = tmp_path_factory.mktemp("corpus")
+    path = d / "train_captions.txt"
+    caps = [
+        "a man riding a horse on a beach",
+        "a dog sitting on a couch",
+        "a man with a dog in a park",
+        "two dogs playing with a ball",
+        "a horse standing in a field",
+        "a group of people riding horses",
+    ]
+    path.write_text("\n".join(caps) + "\n")
+    return str(path)
