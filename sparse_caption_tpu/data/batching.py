@@ -1,0 +1,153 @@
+"""Fixed-shape batch assembly + threaded prefetch loader.
+
+Capability parity with the reference collate fns + DataLoader
+(``sparse_caption/data/collate.py:119-262``, ``utils/training.py:97-116``):
+per batch, bottom-up features for B images plus ``seq_per_img`` sampled
+captions per image (labels shape ``(B*seq_per_img, L)``), caption masks,
+host-side GT token strings for SCST, shuffle+drop_last in train.
+
+TPU-first deltas (documented, intentional):
+* every array in the batch has a **static shape** — captions are padded to
+  exactly ``max_seq_length``, regions to ``max_att_regions`` — so a single
+  XLA program serves every step (the reference pads to the per-batch max)
+* when an image has fewer than ``seq_per_img`` captions we sample with
+  replacement to keep ``B*seq_per_img`` static (COCO always has >= 5, so
+  this never triggers on the real dataset; the reference emits a ragged
+  batch in that case, ``collate.py:133-139``)
+* the final eval batch is padded up to ``batch_size`` with repeated records
+  and carries ``batch_valid`` so jit sees one shape
+* prefetch is a daemon thread + bounded queue feeding device transfer,
+  replacing forked DataLoader workers
+"""
+
+from __future__ import annotations
+
+import queue
+import random
+import threading
+from typing import Dict, Iterator, List, Optional, Sequence
+
+import numpy as np
+
+from sparse_caption_tpu.data.features import FeatureSource
+
+
+class CaptionBatcher:
+    """Builds one fixed-shape numpy batch from dataset records."""
+
+    def __init__(self, config, tokenizer, feature_source: FeatureSource):
+        self.config = config
+        self.tokenizer = tokenizer
+        self.features = feature_source
+        self.seq_per_img = int(config.get("seq_per_img", 5))
+        self.max_seq_length = int(config.get("max_seq_length", 18))
+        assert self.seq_per_img > 0
+
+    def _encode_caption(self, caption: str) -> np.ndarray:
+        ids = self.tokenizer.encode(caption, add_bos_eos=True, max_seq_length=self.max_seq_length)
+        out = np.zeros((self.max_seq_length,), dtype=np.int32)
+        out[: len(ids)] = ids
+        return out
+
+    def __call__(self, records: Sequence[dict], sample_captions: bool = True, rng: Optional[random.Random] = None) -> Dict:
+        rng = rng or random
+        feats = [self.features.load(r["img_id"]) for r in records]
+        batch: Dict = {}
+        for key in feats[0]:
+            batch[key] = np.stack([f[key] for f in feats], 0)
+
+        if sample_captions:
+            seqs, masks = [], []
+            for r in records:
+                caps = r["all_captions"]
+                if len(caps) >= self.seq_per_img:
+                    chosen = rng.sample(caps, self.seq_per_img)
+                else:  # static-shape delta: sample with replacement
+                    chosen = list(caps) + [rng.choice(caps) for _ in range(self.seq_per_img - len(caps))]
+                for cap in chosen:
+                    ids = self._encode_caption(cap)
+                    seqs.append(ids)
+                    mask = (ids != self.tokenizer.pad_token_id).astype(np.float32)
+                    masks.append(mask)
+            batch["seqs"] = np.stack(seqs, 0)
+            batch["masks"] = np.stack(masks, 0)
+
+        batch["gts"] = [r["all_gts"] for r in records]
+        batch["image_paths"] = [r["img_path"] for r in records]
+        batch["image_ids"] = [r["img_id"] for r in records]
+        return batch
+
+
+class BatchLoader:
+    """Iterable over fixed-shape batches with background prefetch.
+
+    Train mode: shuffle each epoch, drop_last. Eval mode: in-order, final
+    partial batch padded by repeating the last record (``batch_valid`` gives
+    the true count).
+    """
+
+    def __init__(
+        self,
+        records: List[dict],
+        batcher: CaptionBatcher,
+        batch_size: int,
+        train: bool,
+        seed: int = 8888,
+        prefetch: int = 2,
+    ):
+        self.records = list(records)
+        self.batcher = batcher
+        self.batch_size = int(batch_size)
+        self.train = train
+        self.seed = seed
+        self.prefetch = prefetch
+        self._epoch = 0
+
+    def __len__(self) -> int:
+        n = len(self.records)
+        return n // self.batch_size if self.train else -(-n // self.batch_size)
+
+    def _batches(self) -> Iterator[Dict]:
+        rng = random.Random(self.seed + self._epoch)
+        order = list(range(len(self.records)))
+        if self.train:
+            rng.shuffle(order)
+        n_batches = len(self)
+        for b in range(n_batches):
+            idx = order[b * self.batch_size : (b + 1) * self.batch_size]
+            valid = len(idx)
+            if not self.train and valid < self.batch_size:
+                idx = idx + [idx[-1]] * (self.batch_size - valid)
+            recs = [self.records[i] for i in idx]
+            batch = self.batcher(recs, sample_captions=self.train, rng=rng)
+            batch["batch_valid"] = valid
+            yield batch
+        self._epoch += 1
+
+    def __iter__(self) -> Iterator[Dict]:
+        if self.prefetch <= 0:
+            yield from self._batches()
+            return
+        q: queue.Queue = queue.Queue(maxsize=self.prefetch)
+        sentinel = object()
+        err: List[BaseException] = []
+
+        def producer():
+            try:
+                for batch in self._batches():
+                    q.put(batch)
+            except BaseException as e:  # propagate loader errors to consumer
+                err.append(e)
+            finally:
+                q.put(sentinel)
+
+        t = threading.Thread(target=producer, daemon=True)
+        t.start()
+        while True:
+            item = q.get()
+            if item is sentinel:
+                break
+            yield item
+        t.join()
+        if err:
+            raise err[0]

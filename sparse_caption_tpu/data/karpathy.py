@@ -1,0 +1,148 @@
+"""Karpathy-split caption dataset ingestion.
+
+Behavioral parity with the reference ``sparse_caption/data/karpathy.py:24-239``:
+
+* one record per (image, caption) in train; ``get_split(generation_mode=True)``
+  dedups to one record per image (reference ``karpathy.py:55-80``)
+* ``restval`` folds into ``train`` (reference ``karpathy.py:108``)
+* per record: img_path, img_id, caption (raw or pre-tokenized per
+  ``retokenize_captions``), all_captions, and always-pre-tokenized ``all_gts``
+  for SCST (reference ``karpathy.py:110-113``)
+* dumps ``<log_dir>/tokenizer/train_captions.txt`` for tokenizer training
+  and COCO-style annotation/prediction JSONs for the metric stack
+"""
+
+from __future__ import annotations
+
+import json
+import logging
+import os
+import random
+from abc import ABC, abstractmethod
+from collections import defaultdict
+from typing import Iterable, List, Tuple
+
+logger = logging.getLogger(__name__)
+
+
+class KarpathyDataset(ABC):
+    ANNOTATION_FILE = RAW_JSON_FILE = ""
+
+    def __init__(self, config):
+        self.config = config
+        self.dataset_dir = config.dataset_dir
+        self.data = None
+
+    @property
+    def train_size(self) -> int:
+        return len(self.data["train"])
+
+    @staticmethod
+    @abstractmethod
+    def image_filename_to_id(filename: str) -> int:
+        ...
+
+    @abstractmethod
+    def prepare_data(self) -> None:
+        ...
+
+    # ------------------------------------------------------------- splits
+    def get_split(self, split: str, generation_mode: bool = False) -> List[dict]:
+        if split not in ("train", "val", "test"):
+            raise ValueError(f"invalid split `{split}`; expected train/val/test")
+        data = self.data[split]
+        if generation_mode:
+            # one record per image (images can have >5 captions, so no striding)
+            dedup = {}
+            for d in data:
+                dedup[d["img_id"]] = d
+            data = list(dedup.values())
+        return list(data)
+
+    # ---------------------------------------------------------- ingestion
+    def process_karpathy_json(self) -> None:
+        raw_json = os.path.join(self.dataset_dir, self.RAW_JSON_FILE)
+        if not os.path.isfile(raw_json):
+            raise FileNotFoundError(
+                f"caption JSON not found: {raw_json}. Download the Karpathy splits "
+                "(caption_datasets.zip) into the dataset dir, or generate fixtures "
+                "with scripts/dataset/make_test_fixtures.py"
+            )
+        with open(raw_json) as f:
+            raw = json.load(f)
+
+        retokenize = bool(self.config.get("retokenize_captions", False))
+        self.data = defaultdict(list)
+        all_ids, all_names = set(), set()
+        for d in raw["images"]:
+            img_id = self.image_filename_to_id(d["filename"])
+            all_ids.add(img_id)
+            all_names.add(d["filename"])
+            img_path = os.path.join(self.dataset_dir, d.get("filepath", "images"), d["filename"])
+            split = "train" if d["split"] == "restval" else d["split"]
+            all_gts = [" ".join(s["tokens"]) for s in d["sentences"]]
+            all_captions = [s["raw"] if retokenize else " ".join(s["tokens"]) for s in d["sentences"]]
+            for cap in all_captions:
+                self.data[split].append(
+                    dict(
+                        split=split,
+                        img_path=img_path,
+                        img_id=img_id,
+                        caption=cap,
+                        all_captions=all_captions,
+                        all_gts=all_gts,
+                    )
+                )
+        if len(all_ids) != len(all_names):
+            raise ValueError("image IDs are not unique across filenames")
+
+    def random_image_check(self, num_samples: int = 5) -> None:
+        sample = random.sample(self.data["train"], min(num_samples, len(self.data["train"])))
+        if not all(os.path.isfile(d["img_path"]) for d in sample):
+            raise FileNotFoundError("one or more training images are missing")
+
+    # ------------------------------------------------------------ outputs
+    def train_captions_txt_dump(self) -> None:
+        tokenizer_dir = os.path.join(self.config.log_dir, "tokenizer")
+        train_txt = os.path.join(tokenizer_dir, "train_captions.txt")
+        self.config.tokenizer_train_files = train_txt
+        if os.path.isdir(tokenizer_dir):
+            return  # existing tokenizer dir wins (resume / start_from)
+        os.makedirs(tokenizer_dir, exist_ok=True)
+        with open(train_txt, "w") as f:
+            f.write("\n".join(d["caption"] for d in self.data["train"]))
+
+    def annotation_file_path(self) -> str:
+        """COCO-style GT annotation JSON used by the metric stack."""
+        path = os.path.join(self.config.log_dir, "annotations", self.ANNOTATION_FILE)
+        if not os.path.isfile(path):
+            self.coco_annot_json_dump(path)
+        return path
+
+    def coco_annot_json_dump(self, json_fpath: str) -> None:
+        annot = dict(images=[], annotations=[], info="", type="captions", licenses="")
+        ann_id = 0
+        for split in ("val", "test"):
+            for d in self.get_split(split, generation_mode=True):
+                annot["images"].append({"id": d["img_id"]})
+                for cap in d["all_captions"]:
+                    annot["annotations"].append({"caption": cap, "id": ann_id, "image_id": d["img_id"]})
+                    ann_id += 1
+        os.makedirs(os.path.dirname(json_fpath), exist_ok=True)
+        with open(json_fpath, "w") as f:
+            json.dump(annot, f)
+
+    def coco_caption_json_dump(self, img_fname_caption_pair: Iterable[Tuple[str, str]], output_fpath: str) -> None:
+        coco_json = []
+        for img_fname, caption in img_fname_caption_pair:
+            image_id = self.image_filename_to_id(os.path.basename(img_fname))
+            coco_json.append({"image_id": image_id, "caption": str(caption)})
+        os.makedirs(os.path.dirname(output_fpath) or ".", exist_ok=True)
+        with open(output_fpath, "w") as f:
+            json.dump(coco_json, f)
+
+    @staticmethod
+    def add_argparse_args(parser) -> None:
+        parser.add_argument("--dataset_dir", type=str, default=None, help="dataset directory")
+        parser.add_argument("--retokenize_captions", action="store_true",
+                            help="use raw captions instead of Karpathy-tokenized ones")

@@ -23,6 +23,18 @@ def rng():
 
 
 @pytest.fixture(scope="session")
+def fixture_dataset(tmp_path_factory):
+    """Synthetic tiny dataset in the reference fixture layout (small feature dim)."""
+    import sys
+
+    sys.path.insert(0, os.path.join(os.path.dirname(__file__), "..", "scripts", "dataset"))
+    from make_test_fixtures import make_fixtures
+
+    d = tmp_path_factory.mktemp("dataset")
+    return make_fixtures(str(d), att_feat_size=16, max_regions=5)
+
+
+@pytest.fixture(scope="session")
 def tiny_corpus(tmp_path_factory):
     """A tiny caption corpus file shared across tokenizer/data tests."""
     d = tmp_path_factory.mktemp("corpus")

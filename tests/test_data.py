@@ -1,0 +1,122 @@
+"""Data pipeline tests: ingestion, splits, batching shapes (parity model:
+reference collate contract, sparse_caption/data/collate.py:153-168)."""
+
+import numpy as np
+import pytest
+
+from sparse_caption_tpu.config import Config
+from sparse_caption_tpu.data import get_dataset
+from sparse_caption_tpu.data.batching import BatchLoader, CaptionBatcher
+from sparse_caption_tpu.data.features import FeatureCache, FeatureSource, default_bu_dirs
+from sparse_caption_tpu.tokenizers import get_tokenizer
+
+
+@pytest.fixture()
+def prepared(fixture_dataset, tmp_path):
+    cfg = Config(
+        log_dir=str(tmp_path / "run"),
+        dataset_dir=fixture_dataset,
+        vocab_size=256,
+        max_seq_length=12,
+        seq_per_img=3,
+    )
+    ds = get_dataset("mscoco_testing")(cfg)
+    ds.prepare_data()
+    tok = get_tokenizer("word")(cfg)
+    return cfg, ds, tok
+
+
+def test_splits_and_generation_mode(prepared):
+    cfg, ds, tok = prepared
+    train = ds.get_split("train")
+    assert len(train) == 2 * 5  # 2 train images x 5 captions
+    gen = ds.get_split("val", generation_mode=True)
+    assert len(gen) == 2  # deduped per image
+    assert all("all_gts" in d and len(d["all_gts"]) == 5 for d in gen)
+    with pytest.raises(ValueError):
+        ds.get_split("bogus")
+
+
+def test_image_filename_to_id(prepared):
+    _, ds, _ = prepared
+    assert ds.image_filename_to_id("COCO_val2014_000000522418.jpg") == 522418
+    with pytest.raises(ValueError):
+        ds.image_filename_to_id("foo.png")
+
+
+def test_batch_shapes_static(prepared, fixture_dataset):
+    cfg, ds, tok = prepared
+    src = FeatureSource(**default_bu_dirs(fixture_dataset), max_regions=8, att_feat_size=16)
+    batcher = CaptionBatcher(cfg, tok, src)
+    recs = ds.get_split("train")[:4]
+    batch = batcher(recs)
+    B, spi, L = 4, cfg.seq_per_img, cfg.max_seq_length
+    assert batch["att_feats"].shape == (B, 8, 16)
+    assert batch["att_masks"].shape == (B, 8)
+    assert batch["fc_feats"].shape == (B, 16)
+    assert batch["boxes"].shape == (B, 8, 4)
+    assert batch["seqs"].shape == (B * spi, L)
+    assert batch["masks"].shape == (B * spi, L)
+    assert batch["seqs"].dtype == np.int32
+    # every caption row starts with BOS; pad tail is masked out
+    assert (batch["seqs"][:, 0] == tok.bos_token_id).all()
+    assert ((batch["seqs"] != 0) == (batch["masks"] > 0)).all()
+    # att mask marks true regions only
+    counts = batch["att_masks"].sum(1)
+    assert (counts >= 3).all() and (counts <= 5).all()
+
+
+def test_loader_train_drop_last_and_eval_padding(prepared, fixture_dataset):
+    cfg, ds, tok = prepared
+    src = FeatureSource(**default_bu_dirs(fixture_dataset), max_regions=8, att_feat_size=16)
+    batcher = CaptionBatcher(cfg, tok, src)
+    train = BatchLoader(ds.get_split("train"), batcher, batch_size=3, train=True)
+    batches = list(train)
+    assert len(batches) == 10 // 3
+    assert all(b["batch_valid"] == 3 for b in batches)
+    # eval: 2 records, batch 3 -> one padded batch
+    ev = BatchLoader(ds.get_split("val", generation_mode=True), batcher, batch_size=3, train=False)
+    (b,) = list(ev)
+    assert b["batch_valid"] == 2
+    assert b["att_feats"].shape[0] == 3
+    assert b["image_ids"][1] == b["image_ids"][2]  # padded by repetition
+
+
+def test_loader_reshuffles_each_epoch(prepared, fixture_dataset):
+    cfg, ds, tok = prepared
+    src = FeatureSource(**default_bu_dirs(fixture_dataset), max_regions=8, att_feat_size=16)
+    batcher = CaptionBatcher(cfg, tok, src)
+    loader = BatchLoader(ds.get_split("train"), batcher, batch_size=4, train=True)
+    e1 = [tuple(b["image_ids"]) for b in loader]
+    e2 = [tuple(b["image_ids"]) for b in loader]
+    assert e1 != e2 or len(e1) <= 1
+
+
+def test_feature_cache_hits(prepared, fixture_dataset):
+    cache = FeatureCache(min_free_ram=0.0)
+    src = FeatureSource(**default_bu_dirs(fixture_dataset), max_regions=8, att_feat_size=16, cache=cache)
+    _, ds, _ = prepared
+    img_id = ds.get_split("train")[0]["img_id"]
+    src.load(img_id)
+    misses = cache.misses
+    src.load(img_id)
+    assert cache.misses == misses and cache.hits > 0
+
+
+def test_caption_json_dump(prepared, tmp_path):
+    cfg, ds, _ = prepared
+    out = str(tmp_path / "pred.json")
+    ds.coco_caption_json_dump([("COCO_val2014_000000100002.jpg", "a dog")], out)
+    import json
+
+    data = json.load(open(out))
+    assert data == [{"image_id": 100002, "caption": "a dog"}]
+
+
+def test_annotation_file(prepared):
+    cfg, ds, _ = prepared
+    import json
+
+    ann = json.load(open(ds.annotation_file_path()))
+    assert len(ann["images"]) == 4  # 2 val + 2 test images
+    assert len(ann["annotations"]) == 20
