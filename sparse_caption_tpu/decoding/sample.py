@@ -1,0 +1,74 @@
+"""Greedy / temperature sampling decode loop as ``lax.scan``.
+
+Semantics parity with the reference token loop
+(``sparse_caption/models/transformer.py:506-561``, duplicated at
+``att_model.py:223-279``):
+
+* feed BOS; ``max_len`` steps; ``unfinished`` latch zeroes tokens after the
+  first EOS (the EOS itself is recorded); per-step chosen-token logprobs are
+  recorded every step (loss masking handles the tail)
+* ``decoding_constraint``: forbid repeating the previous token (t > 0)
+* random mode samples from ``softmax(logprobs / temperature)``; the caller
+  repeats the memory pytree ``num_random_sample`` times beforehand
+
+The reference's "early exit when all finished" is a dynamic-shape host
+optimization; under jit the scan runs the full static length (cheap: the
+per-step cost is one cached decode).
+"""
+
+from __future__ import annotations
+
+from typing import Callable, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+
+
+def sample_decode(
+    step_fn: Callable,
+    init_cache,
+    batch_size: int,
+    max_len: int,
+    *,
+    bos_id: int,
+    eos_id: int,
+    pad_id: int = 0,
+    greedy: bool = True,
+    temperature: float = 1.0,
+    decoding_constraint: int = 0,
+    rng: Optional[jax.Array] = None,
+) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """Run the decode loop.
+
+    step_fn(it, cache, t) -> (logprobs (B, V), cache) — closure over
+    params/memory (already repeated for random samples).
+    Returns (seq (B, max_len) int32, seq_logprobs (B, max_len)).
+    """
+    if rng is None:
+        rng = jax.random.PRNGKey(0)
+
+    init_it = jnp.full((batch_size,), bos_id, dtype=jnp.int32)
+    init_unfinished = jnp.ones((batch_size,), dtype=jnp.bool_)
+
+    def body(carry, t):
+        it, cache, unfinished, key = carry
+        logprobs, cache = step_fn(it, cache, t)
+        if decoding_constraint:
+            # forbid the previous token (only meaningful for t > 0; at t == 0
+            # `it` is BOS which the model never emits anyway)
+            prev_penalty = jax.nn.one_hot(it, logprobs.shape[-1]) * -jnp.inf
+            logprobs = jnp.where(t > 0, logprobs + jnp.nan_to_num(prev_penalty, neginf=-1e30), logprobs)
+        if greedy:
+            next_it = jnp.argmax(logprobs, axis=-1).astype(jnp.int32)
+        else:
+            key, sub = jax.random.split(key)
+            next_it = jax.random.categorical(sub, logprobs / temperature, axis=-1).astype(jnp.int32)
+        chosen_lp = jnp.take_along_axis(logprobs, next_it[:, None], axis=-1)[:, 0]
+        tok = jnp.where(unfinished, next_it, jnp.int32(pad_id))
+        unfinished = unfinished & (next_it != eos_id)
+        return (tok, cache, unfinished, key), (tok, chosen_lp)
+
+    (_, _, _, _), (seq, seq_lp) = jax.lax.scan(
+        body, (init_it, init_cache, init_unfinished, rng), jnp.arange(max_len)
+    )
+    return seq.T, seq_lp.T  # (B, T)

@@ -1,0 +1,288 @@
+"""Caption Transformer (Annotated-Transformer style encoder-decoder).
+
+TPU-native rebuild of the reference ``transformer`` model
+(``sparse_caption/models/transformer.py:29-719``):
+
+* pre-norm enc-dec, custom std-based LayerNorm, sinusoidal PE,
+  log-softmax generator, xavier-uniform init
+* src embed: Dense(att_feat_size -> d_model) + ReLU + Dropout(drop_prob_src)
+  (``transformer.py:632-634``)
+* multi-caption training: when ``seqs`` batch > memory batch, memory is
+  repeat-interleaved by seq_per_img (``transformer.py:99-102``)
+* ACORT sharing: ``share_att_{encoder,decoder}`` in {None, kv, qk};
+  ``share_layer_{encoder,decoder}`` aliases layer parameters
+  (``transformer.py:133-142,175-183,223-263``)
+* decoding uses explicit static-shape KV caches + time index instead of the
+  reference's module-attribute cache mutation (``transformer.py:240-269``)
+"""
+
+from __future__ import annotations
+
+from typing import Any, Dict, Optional, Sequence, Tuple
+
+import jax
+import jax.numpy as jnp
+from flax import linen as nn
+
+from sparse_caption_tpu.models import register_model
+from sparse_caption_tpu.models.layers import (
+    Generator,
+    InputEmbedding,
+    MaskedDense,
+    MultiHeadAttention,
+    PositionalEncoding,
+    PositionwiseFeedForward,
+    RefLayerNorm,
+    SublayerConnection,
+)
+from sparse_caption_tpu.ops.masked import MaskConfig
+
+
+def _unique_layer_plan(num_layers: int, share_layer: Optional[Sequence[int]]) -> Tuple[int, Tuple[int, ...]]:
+    """(n_unique, assignment) for layer sharing (reference transformer.py:133-142)."""
+    if share_layer:
+        share_layer = tuple(int(i) for i in share_layer)
+        n_unique = len(set(share_layer))
+        assert set(share_layer) == set(range(n_unique)), f"share_layer must use indices 0..{n_unique - 1}"
+        return n_unique, share_layer
+    return num_layers, tuple(range(num_layers))
+
+
+class EncoderLayer(nn.Module):
+    d_model: int
+    num_heads: int
+    d_ff: int
+    dropout_rate: float = 0.1
+    share_att: Optional[str] = None
+    mask_cfg: Optional[MaskConfig] = None
+
+    def setup(self):
+        self.self_attn = MultiHeadAttention(
+            self.num_heads, self.d_model, self.dropout_rate, self.share_att, self.mask_cfg
+        )
+        self.feed_forward = PositionwiseFeedForward(self.d_model, self.d_ff, self.dropout_rate, self.mask_cfg)
+        self.sub0 = SublayerConnection(self.dropout_rate)
+        self.sub1 = SublayerConnection(self.dropout_rate)
+
+    def __call__(self, x, mask, train: bool = False):
+        x = self.sub0(x, lambda y: self.self_attn(y, y, y, mask, train), train)
+        return self.sub1(x, lambda y: self.feed_forward(y, train), train)
+
+
+class DecoderLayer(nn.Module):
+    d_model: int
+    num_heads: int
+    d_ff: int
+    dropout_rate: float = 0.1
+    share_att: Optional[str] = None
+    mask_cfg: Optional[MaskConfig] = None
+
+    def setup(self):
+        self.self_attn = MultiHeadAttention(
+            self.num_heads, self.d_model, self.dropout_rate, self.share_att, self.mask_cfg
+        )
+        self.src_attn = MultiHeadAttention(
+            self.num_heads, self.d_model, self.dropout_rate, self.share_att, self.mask_cfg
+        )
+        self.feed_forward = PositionwiseFeedForward(self.d_model, self.d_ff, self.dropout_rate, self.mask_cfg)
+        self.sub0 = SublayerConnection(self.dropout_rate)
+        self.sub1 = SublayerConnection(self.dropout_rate)
+        self.sub2 = SublayerConnection(self.dropout_rate)
+
+    def __call__(self, x, memory, src_mask, tgt_mask, train: bool = False):
+        x = self.sub0(x, lambda y: self.self_attn(y, y, y, tgt_mask, train), train)
+        x = self.sub1(x, lambda y: self.src_attn(y, memory, memory, src_mask, train), train)
+        return self.sub2(x, lambda y: self.feed_forward(y, train), train)
+
+    # ------------------------------------------------------------- decode
+    def project_memory_kv(self, memory):
+        return self.src_attn.project_memory_kv(memory)
+
+    def step(self, x_t, layer_cache: Dict, t, mem_mask, train: bool = False):
+        """One decode step. layer_cache: {self_k, self_v, cross_k, cross_v}."""
+        def self_fn(y):
+            out, new_k, new_v = self.self_attn.decode_self(
+                y, layer_cache["self_k"], layer_cache["self_v"], t, train
+            )
+            layer_cache["self_k"], layer_cache["self_v"] = new_k, new_v
+            return out
+
+        x_t = self.sub0(x_t, self_fn, train)
+        x_t = self.sub1(
+            x_t,
+            lambda y: self.src_attn.decode_cross(y, layer_cache["cross_k"], layer_cache["cross_v"], mem_mask, train),
+            train,
+        )
+        x_t = self.sub2(x_t, lambda y: self.feed_forward(y, train), train)
+        return x_t, layer_cache
+
+
+def subsequent_mask(t: int):
+    """(1, 1, T, T) lower-triangular validity mask (reference transformer.py:105-108)."""
+    return jnp.tril(jnp.ones((t, t), dtype=jnp.bool_))[None, None]
+
+
+@register_model("transformer")
+class Transformer(nn.Module):
+    """Flagship caption transformer. COLLATE fields: att (+ optional fc unused)."""
+
+    vocab_size: int
+    d_model: int = 512
+    dim_feedforward: int = 2048
+    num_layers: int = 6
+    num_heads: int = 8
+    drop_prob_src: float = 0.5
+    dropout_rate: float = 0.1
+    att_feat_size: int = 2048
+    max_seq_length: int = 18
+    pad_id: int = 0
+    bos_id: int = 2
+    eos_id: int = 3
+    unk_id: int = 1
+    share_att_encoder: Optional[str] = None
+    share_att_decoder: Optional[str] = None
+    share_layer_encoder: Optional[Sequence[int]] = None
+    share_layer_decoder: Optional[Sequence[int]] = None
+    mask_cfg: Optional[MaskConfig] = None
+
+    COLLATE_FIELDS = ("att_feats", "att_masks")
+
+    def _setup_decoder(self):
+        n_dec, self.dec_plan = _unique_layer_plan(self.num_layers, self.share_layer_decoder)
+        self.tgt_embed = InputEmbedding(self.vocab_size, self.d_model, self.mask_cfg)
+        self.pos_enc = PositionalEncoding(self.d_model, self.dropout_rate)
+        self.decoder_layers = [
+            DecoderLayer(self.d_model, self.num_heads, self.dim_feedforward, self.dropout_rate,
+                         self.share_att_decoder, self.mask_cfg)
+            for _ in range(n_dec)
+        ]
+        self.decoder_norm = RefLayerNorm()
+        self.generator = Generator(self.vocab_size, self.mask_cfg)
+
+    def setup(self):
+        self._setup_decoder()
+        n_enc, self.enc_plan = _unique_layer_plan(self.num_layers, self.share_layer_encoder)
+        self.src_proj = MaskedDense(self.d_model, mask_cfg=self.mask_cfg, name="src_proj")
+        self.src_dropout = nn.Dropout(self.drop_prob_src)
+        self.encoder_layers = [
+            EncoderLayer(self.d_model, self.num_heads, self.dim_feedforward, self.dropout_rate,
+                         self.share_att_encoder, self.mask_cfg)
+            for _ in range(n_enc)
+        ]
+        self.encoder_norm = RefLayerNorm()
+
+    # ----------------------------------------------------------- encoding
+    def _embed_src(self, att_feats, train: bool):
+        x = nn.relu(self.src_proj(att_feats, train))
+        return self.src_dropout(x, deterministic=not train)
+
+    def encode(self, att_feats, att_masks, boxes=None, train: bool = False) -> Dict[str, Any]:
+        """att_feats: (B, S, F); att_masks: (B, S). Returns memory pytree."""
+        del boxes
+        x = self._embed_src(att_feats, train)
+        src_mask = att_masks[:, None, None, :]  # (B, 1, 1, S)
+        for i in self.enc_plan:
+            x = self.encoder_layers[i](x, src_mask, train)
+        memory = self.encoder_norm(x)
+        return {"memory": memory, "mask": att_masks}
+
+    # ----------------------------------------------------- XE teacher force
+    def _decode_full(self, tgt, memory, mem_mask, train: bool):
+        """tgt: (N, T) already cropped. Returns decoder output (N, T, D)."""
+        t = tgt.shape[1]
+        tgt_mask = (tgt != self.pad_id)[:, None, None, :] & subsequent_mask(t)  # (N,1,T,T)
+        src_mask = mem_mask[:, None, None, :]
+        x = self.pos_enc(self.tgt_embed(tgt, train), train=train)
+        for i in self.dec_plan:
+            x = self.decoder_layers[i](x, memory, src_mask, tgt_mask, train)
+        return self.decoder_norm(x)
+
+    def __call__(self, att_feats, att_masks, seqs, boxes=None, train: bool = False):
+        """XE forward: logprobs (N, T-1, V) over targets seqs[:, 1:]
+        (decoder input is seqs[:, :-1], reference transformer.py:677-680)."""
+        enc = self.encode(att_feats, att_masks, boxes, train)
+        memory, mem_mask = enc["memory"], enc["mask"]
+        tgt = seqs[:, :-1]
+        if memory.shape[0] != tgt.shape[0]:
+            assert tgt.shape[0] % memory.shape[0] == 0
+            spi = tgt.shape[0] // memory.shape[0]
+            memory = jnp.repeat(memory, spi, axis=0)
+            mem_mask = jnp.repeat(mem_mask, spi, axis=0)
+        out = self._decode_full(tgt, memory, mem_mask, train)
+        return self.generator(out, train)
+
+    # ------------------------------------------------------------- decode
+    def init_cache(self, memory_pytree: Dict[str, Any], max_steps: Optional[int] = None) -> Dict[str, Any]:
+        """Build the static-shape decode cache (self KV zeros + projected cross KV)."""
+        memory = memory_pytree["memory"]
+        b = memory.shape[0]
+        t_max = int(max_steps or (self.max_seq_length + 1))
+        dk = self.d_model // self.num_heads
+        layers = []
+        for i in self.dec_plan:
+            ck, cv = self.decoder_layers[i].project_memory_kv(memory)
+            layers.append(
+                {
+                    "self_k": jnp.zeros((b, self.num_heads, t_max, dk), memory.dtype),
+                    "self_v": jnp.zeros((b, self.num_heads, t_max, dk), memory.dtype),
+                    "cross_k": ck,
+                    "cross_v": cv,
+                }
+            )
+        return {"layers": layers}
+
+    def decode_step(self, it, cache: Dict[str, Any], t, memory_pytree: Dict[str, Any], train: bool = False):
+        """it: (B,) current tokens; t: scalar index. Returns (logprobs (B, V), cache)."""
+        mem_mask = memory_pytree["mask"][:, None, None, :]
+        x = self.tgt_embed(it[:, None], train)  # (B, 1, D)
+        x = self.pos_enc(x, t=t, train=train)
+        new_layers = []
+        for j, i in enumerate(self.dec_plan):
+            x, lc = self.decoder_layers[i].step(x, dict(cache["layers"][j]), t, mem_mask, train)
+            new_layers.append(lc)
+        x = self.decoder_norm(x)
+        logprobs = self.generator(x[:, 0], train)
+        return logprobs, {"layers": new_layers}
+
+    @staticmethod
+    def add_argparse_args(parser) -> None:
+        parser.add_argument("--d_model", type=int, default=512)
+        parser.add_argument("--dim_feedforward", type=int, default=2048)
+        parser.add_argument("--num_layers", type=int, default=6)
+        parser.add_argument("--num_heads", type=int, default=8)
+        parser.add_argument("--drop_prob_src", type=float, default=0.5)
+        parser.add_argument("--att_feat_size", type=int, default=2048)
+        parser.add_argument("--share_att_encoder", type=str, default=None, choices=[None, "kv", "qk"])
+        parser.add_argument("--share_att_decoder", type=str, default=None, choices=[None, "kv", "qk"])
+        parser.add_argument("--share_layer_encoder", type=str, default=None,
+                            help="comma ints, e.g. '0,0,0,1,1,1'")
+        parser.add_argument("--share_layer_decoder", type=str, default=None)
+
+    @classmethod
+    def from_config(cls, config, mask_cfg: Optional[MaskConfig] = None):
+        from sparse_caption_tpu.config import list_of_ints
+
+        def share_layer(v):
+            if v is None or v == "":
+                return None
+            return tuple(list_of_ints(v)) if isinstance(v, str) else tuple(v)
+
+        return cls(
+            vocab_size=config.vocab_size,
+            d_model=config.get("d_model", 512),
+            dim_feedforward=config.get("dim_feedforward", 2048),
+            num_layers=config.get("num_layers", 6),
+            num_heads=config.get("num_heads", 8),
+            drop_prob_src=config.get("drop_prob_src", 0.5),
+            att_feat_size=config.get("att_feat_size", 2048),
+            max_seq_length=config.get("max_seq_length", 18),
+            pad_id=config.get("pad_token_id", 0),
+            bos_id=config.get("bos_token_id", 2),
+            eos_id=config.get("eos_token_id", 3),
+            unk_id=1,
+            share_att_encoder=config.get("share_att_encoder"),
+            share_att_decoder=config.get("share_att_decoder"),
+            share_layer_encoder=share_layer(config.get("share_layer_encoder")),
+            share_layer_decoder=share_layer(config.get("share_layer_decoder")),
+            mask_cfg=mask_cfg,
+        )

@@ -1,0 +1,17 @@
+"""JAX runtime setup helpers."""
+
+from __future__ import annotations
+
+import os
+
+
+def enable_persistent_cache(cache_dir: str | None = None) -> None:
+    """Enable the XLA persistent compilation cache (big win on slow hosts;
+    TPU executables are cached too, cutting the ~20-40s first-compile cost
+    on relaunch)."""
+    import jax
+
+    cache_dir = cache_dir or os.environ.get("SPARSE_CAPTION_JAX_CACHE", "/tmp/sparse_caption_jax_cache")
+    jax.config.update("jax_compilation_cache_dir", cache_dir)
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.0)
+    jax.config.update("jax_persistent_cache_min_entry_size_bytes", -1)

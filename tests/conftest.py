@@ -13,8 +13,19 @@ xla_flags = os.environ.get("XLA_FLAGS", "")
 if "xla_force_host_platform_device_count" not in xla_flags:
     os.environ["XLA_FLAGS"] = (xla_flags + " --xla_force_host_platform_device_count=8").strip()
 
+import jax  # noqa: E402
+
+# The axon sitecustomize forces the TPU backend regardless of JAX_PLATFORMS;
+# the config update below is what actually pins tests to the virtual CPU mesh.
+jax.config.update("jax_platforms", "cpu")
+
 import numpy as np  # noqa: E402
 import pytest  # noqa: E402
+
+# Persistent compile cache cuts test reruns (see utils/jax_setup.py).
+from sparse_caption_tpu.utils.jax_setup import enable_persistent_cache  # noqa: E402
+
+enable_persistent_cache()
 
 
 @pytest.fixture(scope="session")
