@@ -1,0 +1,48 @@
+"""Pure-Python PTB-style tokenizer.
+
+Replaces the reference's Stanford CoreNLP Java subprocess
+(``coco_caption/pycocoevalcap/tokenizer/ptbtokenizer.py:18,46-74``) with a
+dependency-free implementation of the same contract: lowercase, PTB word
+splitting, then removal of the fixed punctuation list
+(``ptbtokenizer.py:21-39``).
+
+For the dominant input class — Karpathy pre-tokenized lowercase captions —
+this is exactly whitespace splitting + punctuation removal, which is what
+the Java pipeline produces.  For raw captions we approximate the PTB rules
+(contractions, punctuation splitting); METEOR/SPICE-grade edge cases of the
+Stanford tokenizer are out of scope and documented.
+"""
+
+from __future__ import annotations
+
+import re
+from typing import Dict, List
+
+# ``ptbtokenizer.py:21-39`` — tokens removed after tokenization
+PUNCTUATIONS = frozenset(
+    ["''", "'", "``", "`", "-LRB-", "-RRB-", "-LCB-", "-RCB-", ".", "?", "!", ",", ":", "-", "--", "...", ";"]
+)
+
+_CONTRACTIONS = re.compile(r"\b(can)(not)\b|(\w+)(n't)\b|(\w+)('(?:s|re|ve|ll|d|m))\b", re.IGNORECASE)
+_PUNCT_SPLIT = re.compile(r"([\.\,\?\!\:\;]+|[\"\(\)\[\]\{\}])")
+
+
+def ptb_tokenize_sentence(sentence: str) -> List[str]:
+    s = sentence.replace("\n", " ").strip().lower()
+    # split contractions PTB-style: don't -> do n't; it's -> it 's
+    s = _CONTRACTIONS.sub(lambda m: " ".join(x for x in m.groups() if x), s)
+    # brackets to PTB symbols
+    for lit, sym in [("(", " -LRB- "), (")", " -RRB- "), ("{", " -LCB- "), ("}", " -RCB- ")]:
+        s = s.replace(lit, sym)
+    s = _PUNCT_SPLIT.sub(r" \1 ", s)
+    tokens = [t for t in s.split() if t not in PUNCTUATIONS]
+    return tokens
+
+
+def ptb_tokenize(captions_for_image: Dict) -> Dict[object, List[str]]:
+    """{img_id: [{'caption': str}, ...]} -> {img_id: [tokenized_str, ...]}
+    (same contract as the reference PTBTokenizer.tokenize)."""
+    out: Dict[object, List[str]] = {}
+    for img_id, caps in captions_for_image.items():
+        out[img_id] = [" ".join(ptb_tokenize_sentence(c["caption"])) for c in caps]
+    return out
