@@ -1,0 +1,82 @@
+#!/usr/bin/env python
+"""Standalone eval entry (parity: reference ``scripts/eval_model.py:18-94``).
+
+Loads ``<log_dir>/config.json`` (+ migration), restores the requested
+checkpoint (dense msgpack or sparse npz densified), and evaluates val/test.
+"""
+
+import argparse
+import os
+import sys
+from pathlib import Path
+
+sys.path.insert(0, str(Path(__file__).resolve().parent.parent))
+
+from sparse_caption_tpu.config import Config
+from sparse_caption_tpu.utils.jax_setup import enable_persistent_cache
+from sparse_caption_tpu.utils.misc import configure_logging
+
+
+def parse_args():
+    p = argparse.ArgumentParser(formatter_class=argparse.ArgumentDefaultsHelpFormatter)
+    p.add_argument("--log_dir", type=str, required=True, help="run dir containing config.json + checkpoints")
+    p.add_argument("--ckpt", type=str, default="best", help="checkpoint tag (best/last/...) or file path")
+    p.add_argument("--split", type=str, default="test", choices=["val", "test"])
+    p.add_argument("--beam_size", type=int, default=None)
+    p.add_argument("--eval_dir_suffix", type=str, default=None)
+    p.add_argument("--logging_level", type=str, default="INFO")
+    p.add_argument("--platform", type=str, default=None, choices=["cpu", "tpu"])
+    return p.parse_args()
+
+
+def main():
+    args = parse_args()
+    configure_logging(args.logging_level)
+    from sparse_caption_tpu.utils.jax_setup import select_platform
+
+    select_platform(args.platform)
+    enable_persistent_cache()
+    import jax
+    import numpy as np
+
+    from sparse_caption_tpu.engine.checkpoints import load_pytree
+    from sparse_caption_tpu.engine.training import TrainingModule
+    from sparse_caption_tpu.pruning.engine import sparse_import
+
+    config = Config.load_config_json(args.log_dir)
+    config.log_dir = args.log_dir
+    config.config_overwrite = True
+    # eval of a pruned run loads the folded weights into the dense model
+    # (reference eval strips `_prune`, train_n_prune_transformer.py:293-301)
+    if str(config.caption_model).endswith("_prune"):
+        config.caption_model = config.caption_model[: -len("_prune")]
+    if args.eval_dir_suffix:
+        config.eval_dir_suffix = args.eval_dir_suffix
+    if args.beam_size is not None:
+        setattr(config, f"beam_size_{args.split}", args.beam_size)
+
+    module = TrainingModule(config)
+    module.prepare()
+    module.init_state()
+
+    if os.path.isfile(args.ckpt):
+        ckpt_path = args.ckpt
+    else:
+        ckpt_path = os.path.join(args.log_dir, f"model_{args.ckpt}.msgpack")
+    if ckpt_path.endswith(".npz"):
+        params = sparse_import(dict(np.load(ckpt_path)))
+        module.state = module.state.replace(params=jax.tree.map(jax.numpy.asarray, params))
+    else:
+        ckpt = load_pytree(ckpt_path)
+        module.state = module.state.replace(
+            params=jax.tree.map(jax.numpy.asarray, ckpt["params"]),
+            masks=ckpt.get("masks", {}) or {},
+        )
+    loader = module.get_loader(args.split, train=False)
+    module.global_step = int(config.get("best_global_step", 0))
+    _, scores, out_dir = module.eval_on_split(loader, split=args.split)
+    print(scores)
+
+
+if __name__ == "__main__":
+    main()

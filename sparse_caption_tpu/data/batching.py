@@ -45,6 +45,9 @@ class CaptionBatcher:
 
     def _encode_caption(self, caption: str) -> np.ndarray:
         ids = self.tokenizer.encode(caption, add_bos_eos=True, max_seq_length=self.max_seq_length)
+        # radix encoding can overshoot by < tokens_per_word (reference
+        # tokenizer.py:604-615 word-budget formula); hard-cap for static shapes
+        ids = ids[: self.max_seq_length]
         out = np.zeros((self.max_seq_length,), dtype=np.int32)
         out[: len(ids)] = ids
         return out

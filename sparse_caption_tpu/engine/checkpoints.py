@@ -1,0 +1,93 @@
+"""Checkpoint save/restore.
+
+File-per-artifact layout mirroring the reference run dir
+(``scripts/train_transformer.py:31,44-50,118-129``):
+``config.json``, ``model_init.msgpack``, ``model_last.msgpack``,
+``model_best.msgpack``, ``optimizer_{last,best}.msgpack`` (+ pruning
+exports ``model_best_pruned*.npz``, ``model_best_bin_mask.msgpack``,
+``sparsities.csv`` written by the prune trainer).
+
+Serialization is flax msgpack over pytrees — the TPU-native analogue of
+torch ``state_dict`` pickles.  Missing/extra keys on restore are logged to
+``restore_log.txt`` instead of failing (reference utils/training.py:189-199).
+"""
+
+from __future__ import annotations
+
+import logging
+import os
+from typing import Any, Dict, Optional, Tuple
+
+import jax
+from flax import serialization, traverse_util
+
+logger = logging.getLogger(__name__)
+
+
+def save_pytree(path: str, tree: Any) -> str:
+    os.makedirs(os.path.dirname(path) or ".", exist_ok=True)
+    with open(path, "wb") as f:
+        f.write(serialization.to_bytes(tree))
+    return path
+
+
+def load_pytree(path: str, target: Any = None) -> Any:
+    with open(path, "rb") as f:
+        data = f.read()
+    if target is None:
+        return serialization.msgpack_restore(data)
+    return serialization.from_bytes(target, data)
+
+
+def restore_lenient(target: Dict, path: str, restore_log: Optional[str] = None) -> Tuple[Dict, list, list]:
+    """Restore matching leaves; report missing/unexpected keys like the
+    reference's strict=False + restore_log.txt contract."""
+    raw = load_pytree(path)
+    flat_t = traverse_util.flatten_dict(target, sep="/")
+    flat_r = traverse_util.flatten_dict(raw, sep="/")
+    missing = sorted(set(flat_t) - set(flat_r))
+    unexpected = sorted(set(flat_r) - set(flat_t))
+    merged = dict(flat_t)
+    for k in set(flat_t) & set(flat_r):
+        leaf = flat_r[k]
+        if hasattr(flat_t[k], "shape") and hasattr(leaf, "shape") and tuple(flat_t[k].shape) != tuple(leaf.shape):
+            missing.append(f"{k} (shape mismatch {leaf.shape} vs {flat_t[k].shape})")
+            continue
+        merged[k] = jax.numpy.asarray(leaf)
+    if restore_log and (missing or unexpected):
+        os.makedirs(os.path.dirname(restore_log) or ".", exist_ok=True)
+        with open(restore_log, "a") as f:
+            if missing:
+                f.write(f"Checkpoint `{path}` is missing parameters:\n" + "\n".join(missing) + "\n\n")
+            if unexpected:
+                f.write(f"Checkpoint `{path}` contains extra parameters:\n" + "\n".join(unexpected) + "\n\n")
+        logger.info("restore: %d missing, %d unexpected keys (see %s)", len(missing), len(unexpected), restore_log)
+    return traverse_util.unflatten_dict(merged, sep="/"), missing, unexpected
+
+
+class ScalarLogger:
+    """TensorBoard writer with JSONL fallback (reference logs scalars via
+    SummaryWriter, utils/training.py:132)."""
+
+    def __init__(self, log_dir: str):
+        os.makedirs(log_dir, exist_ok=True)
+        self._jsonl = open(os.path.join(log_dir, "scalars.jsonl"), "a")
+        try:
+            from torch.utils.tensorboard import SummaryWriter
+
+            self._tb = SummaryWriter(log_dir)
+        except Exception:  # tensorboard optional
+            self._tb = None
+
+    def add_scalar(self, tag: str, value, step: int) -> None:
+        import json
+
+        self._jsonl.write(json.dumps({"tag": tag, "value": float(value), "step": int(step)}) + "\n")
+        self._jsonl.flush()
+        if self._tb is not None:
+            self._tb.add_scalar(tag, float(value), step)
+
+    def close(self) -> None:
+        self._jsonl.close()
+        if self._tb is not None:
+            self._tb.close()

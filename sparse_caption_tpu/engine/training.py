@@ -1,0 +1,520 @@
+"""Training engine (TPU-native TrainingModule).
+
+Capability parity with the reference ``sparse_caption/utils/training.py:33-513``
+plus the train loops in ``scripts/train_transformer.py:20-133`` and
+``scripts/train_n_prune_transformer.py:27-322``:
+
+* dataset/tokenizer/model assembly from registries; run-dir artifacts
+  (config.json, model_params.json, checkpoint files, restore_log.txt)
+* jitted XE step (masked NLL or label smoothing) with optional supermask
+  sparsity loss; separate weight/mask optimizer groups
+* SCST: device sampling pass (random or beam) -> host CIDEr-D/BLEU rewards
+  -> device REINFORCE step that re-scores the sampled sequences with
+  teacher forcing (same mask rng => identical supermask sample; dropout
+  redraw documented as the one delta vs the reference's captured logprobs)
+* eval_on_split: jitted batched decode, prediction JSON, metric scores,
+  score JSON/CSV, best-checkpoint tracking on CIDEr
+* pruning hooks: SNIP saliency pre-pass, one-shot/lottery, gradual
+  schedule, sparsity logging, export of pruned/sparse/binarized artifacts
+
+Parallelism (new vs reference, which is single-GPU): the jitted steps are
+written over a ``jax.sharding.Mesh`` data-parallel batch sharding when
+``config.mesh_shape`` is set; see ``sparse_caption_tpu/parallel``.
+"""
+
+from __future__ import annotations
+
+import functools
+import logging
+import os
+import time
+from typing import Any, Dict, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import optax
+from flax import struct
+
+from sparse_caption_tpu.config import Config
+from sparse_caption_tpu.data import get_dataset
+from sparse_caption_tpu.data.batching import BatchLoader, CaptionBatcher
+from sparse_caption_tpu.data.features import FeatureCache, FeatureSource, default_bu_dirs
+from sparse_caption_tpu.decoding import generate
+from sparse_caption_tpu.engine import losses as losses_mod
+from sparse_caption_tpu.engine.checkpoints import ScalarLogger, restore_lenient, save_pytree, load_pytree
+from sparse_caption_tpu.engine.optim import build_mask_optimizer, build_weight_optimizer, make_schedule
+from sparse_caption_tpu.metrics import evaluate_caption_json
+from sparse_caption_tpu.metrics.cider import build_df_pickle
+from sparse_caption_tpu.models import get_model
+from sparse_caption_tpu.ops.masked import MaskConfig
+from sparse_caption_tpu.pruning import SUPER_MASKS, TRAINABLE_MASKS, VALID_MASKS
+from sparse_caption_tpu.scst import CaptionScorer
+from sparse_caption_tpu.utils.misc import csv_append_row, dump_json
+
+logger = logging.getLogger(__name__)
+
+
+class TrainState(struct.PyTreeNode):
+    params: Any
+    masks: Any
+    opt_w: Any
+    opt_m: Any
+    step: jnp.ndarray
+
+
+class TrainingModule:
+    ALL_METRICS = ["Bleu_1", "Bleu_2", "Bleu_3", "Bleu_4", "METEOR", "ROUGE_L", "CIDEr", "SPICE"]
+    SCST_SAMPLE = ["beam_search", "random"]
+    SCST_BASELINE = ["greedy", "sample"]
+
+    def __init__(self, config: Config):
+        self.config = config
+        os.makedirs(config.log_dir, exist_ok=True)
+        self.data = get_dataset(config.dataset)(config)
+        self.data.prepare_data()
+
+        from sparse_caption_tpu.tokenizers import get_tokenizer
+
+        self.tokenizer = get_tokenizer(config.tokenizer)(config)
+        logger.info("vocab_size=%d bos=%s eos=%s", config.vocab_size, config.bos_token_id, config.eos_token_id)
+
+        name = config.caption_model
+        self.is_prune_model = name.endswith("_prune")
+        base_name = name[: -len("_prune")] if self.is_prune_model else name
+        self.mask_cfg = None
+        if self.is_prune_model:
+            prune_type = config.get("prune_type", "")
+            assert prune_type in VALID_MASKS, f"--prune_type must be one of {VALID_MASKS}, got `{prune_type}`"
+            self.mask_cfg = MaskConfig(
+                mask_type=prune_type,
+                mask_init_value=float(config.get("prune_supermask_init", 5.0))
+                if prune_type in SUPER_MASKS else 1.0,
+                bypass_sigmoid_grad=bool(config.get("prune_supermask_bypass_sigmoid_grad", False)),
+            )
+        self.model = get_model(base_name).from_config(config, self.mask_cfg)
+
+        # feature source driven by the model's collate fields
+        dirs = default_bu_dirs(config.dataset_dir)
+        fields = self.model.COLLATE_FIELDS
+        self.feature_source = FeatureSource(
+            att_dir=config.get("input_att_dir") or dirs["att_dir"],
+            fc_dir=(config.get("input_fc_dir") or dirs["fc_dir"]) if "fc_feats" in fields else None,
+            box_dir=(config.get("input_rel_box_dir") or dirs["box_dir"]) if "boxes" in fields else None,
+            max_regions=int(config.get("max_att_regions", 36)),
+            att_feat_size=int(config.get("att_feat_size", 2048)),
+            cache=FeatureCache(float(config.get("cache_min_free_ram", 0.2))),
+        )
+        self.batcher = CaptionBatcher(config, self.tokenizer, self.feature_source)
+        self.checkpoint_path = os.path.join(config.log_dir, "model_{}.msgpack")
+        self.optimizer_path = os.path.join(config.log_dir, "optimizer_{}.msgpack")
+        self.state: Optional[TrainState] = None
+        self.global_step = 0
+        self.best_val_score = 0.0
+        self._jit_cache: Dict = {}
+
+    # ------------------------------------------------------------- loaders
+    def get_loader(self, split: str, train: bool) -> BatchLoader:
+        bs = self.config.batch_size if train else self.config.get("batch_size_eval", self.config.batch_size)
+        records = self.data.get_split(split, generation_mode=True)
+        return BatchLoader(records, self.batcher, bs, train=train, seed=int(self.config.get("seed", 8888)))
+
+    def prepare(self) -> None:
+        config = self.config
+        assert config.max_epochs > 0 and config.get("save_checkpoint_every", 6000) > 0
+        if config.get("cached_tokens") is None:
+            config.cached_tokens = os.path.join(config.dataset_dir, "bu", "coco-train-words")
+        self.config_path = config.save_config(config.log_dir, exist_ok=bool(config.get("config_overwrite", False)))
+        self.train_loader = self.get_loader("train", train=True)
+        self.val_loader = self.get_loader("val", train=False)
+        self.tb = ScalarLogger(config.log_dir)
+        self.max_train_step = config.max_train_step = config.max_epochs * len(self.train_loader)
+        self.scst_scorer = None
+        if 0 <= int(config.get("scst_start_epoch", -1)):
+            df_path = config.cached_tokens if str(config.cached_tokens).endswith(".p") else config.cached_tokens + ".p"
+            if not os.path.isfile(df_path):
+                logger.info("building CIDEr df pickle from train captions -> %s", df_path)
+                refs = [d["all_gts"] for d in self.data.get_split("train", generation_mode=True)]
+                os.makedirs(os.path.dirname(df_path), exist_ok=True)
+                build_df_pickle(refs, df_path)
+            self.scst_scorer = CaptionScorer(
+                config.cached_tokens,
+                cider_weight=float(config.get("scst_cider_weight", 1.0)),
+                bleu_weight=config.get("scst_bleu_weight", [0.0] * 4),
+            )
+        self.best_val_score = 0.0
+        config.best_global_step = 0
+
+    # -------------------------------------------------------------- state
+    def _model_inputs(self, batch: Dict, with_seqs: bool = True) -> Dict[str, jnp.ndarray]:
+        out = {
+            "att_feats": jnp.asarray(batch["att_feats"]),
+            "att_masks": jnp.asarray(batch["att_masks"]),
+        }
+        if "boxes" in self.model.COLLATE_FIELDS:
+            out["boxes"] = jnp.asarray(batch["boxes"])
+        if "fc_feats" in self.model.COLLATE_FIELDS:
+            out["fc_feats"] = jnp.asarray(batch["fc_feats"])
+        if with_seqs:
+            out["seqs"] = jnp.asarray(batch["seqs"])
+        return out
+
+    def init_state(self, rng: Optional[jax.Array] = None) -> TrainState:
+        rng = rng if rng is not None else jax.random.PRNGKey(int(self.config.get("seed", 8888)))
+        batch = next(iter(self.get_loader("train", train=True)))
+        inputs = self._model_inputs(batch)
+        variables = self.model.init({"params": rng, "mask": rng, "dropout": rng, "ss": rng}, **inputs)
+        params = variables["params"]
+        masks = variables.get("masks", {})
+
+        schedule = make_schedule(self.config, steps_per_epoch=max(len(self.train_loader), 1))
+        self.opt_w = build_weight_optimizer(self.config, schedule)
+        trainable_masks = self.mask_cfg is not None and self.mask_cfg.mask_type in TRAINABLE_MASKS
+        self.opt_m = build_mask_optimizer(self.config, trainable_masks)
+        self.state = TrainState(
+            params=params, masks=masks,
+            opt_w=self.opt_w.init(params), opt_m=self.opt_m.init(masks),
+            step=jnp.zeros((), jnp.int32),
+        )
+        self._schedule = schedule
+        # parameter census (reference train_transformer.py:36-50)
+        n_params = sum(x.size for x in jax.tree.leaves(params))
+        n_masks = sum(x.size for x in jax.tree.leaves(masks))
+        dump_json(os.path.join(self.config.log_dir, "model_params.json"),
+                  {"total": int(n_params), "trainable params": int(n_params)}, indent=2)
+        if n_masks:
+            dump_json(os.path.join(self.config.log_dir, "mask_params.json"), {"total": int(n_masks)}, indent=2)
+        logger.info("model params: %s, mask params: %s", f"{n_params:,d}", f"{n_masks:,d}")
+        return self.state
+
+    # --------------------------------------------------------------- steps
+    def _loss_criterion(self):
+        ls = float(self.config.get("label_smoothing", 0.0))
+        if ls > 0:
+            return functools.partial(losses_mod.label_smoothing_loss, smoothing=ls)
+        return losses_mod.language_model_loss
+
+    def _sparsity_loss_args(self) -> Optional[Tuple[float, float]]:
+        if self.mask_cfg is None or not self.mask_cfg.is_supermask:
+            return None
+        target = float(self.config.get("prune_sparsity_target", 0.8))
+        weight = float(self.config.get("prune_supermask_sparsity_weight", -1.0))
+        if weight <= 0:
+            # reference default: max(5, C/(1-s)) (train_n_prune_transformer.py:306-312)
+            c = 0.5 if "lstm" in self.config.caption_model else 1.5
+            weight = max(5.0, c / (1.0 - target))
+        return target, weight
+
+    def make_xe_step(self):
+        criterion = self._loss_criterion()
+        sp_args = self._sparsity_loss_args()
+        freeze_scope = [s for s in str(self.config.get("prune_mask_freeze_scope", "")).split(",") if s]
+        max_step = int(self.config.get("max_train_step", 1))
+        opt_w, opt_m = self.opt_w, self.opt_m
+        model = self.model
+
+        @jax.jit
+        def xe_step(state: TrainState, inputs: Dict, seq_masks, rng):
+            k_drop, k_mask, k_ss = jax.random.split(rng, 3)
+
+            def loss_fn(params, masks):
+                variables = {"params": params}
+                if masks:
+                    variables["masks"] = masks
+                lp = model.apply(variables, **inputs, train=True,
+                                 rngs={"dropout": k_drop, "mask": k_mask, "ss": k_ss})
+                seqs = inputs["seqs"]
+                loss = criterion(lp, seqs[:, 1:], seq_masks[:, 1:])
+                aux = {"caption_loss": loss}
+                if sp_args is not None:
+                    from sparse_caption_tpu.pruning.engine import compute_sparsity_loss
+
+                    sp, sp_aux = compute_sparsity_loss(masks, sp_args[0], sp_args[1], state.step, max_step,
+                                                       freeze_scope)
+                    loss = loss + sp
+                    aux.update(sp_aux)
+                return loss, aux
+
+            (loss, aux), grads = jax.value_and_grad(loss_fn, argnums=(0, 1), has_aux=True)(
+                state.params, state.masks
+            )
+            gw, gm = grads
+            uw, new_opt_w = opt_w.update(gw, state.opt_w, state.params)
+            params = optax.apply_updates(state.params, uw)
+            um, new_opt_m = opt_m.update(gm, state.opt_m, state.masks)
+            masks = optax.apply_updates(state.masks, um) if state.masks else state.masks
+            new_state = state.replace(params=params, masks=masks, opt_w=new_opt_w, opt_m=new_opt_m,
+                                      step=state.step + 1)
+            return new_state, loss, aux
+
+        return xe_step
+
+    # ------------------------------------------------------------ decoding
+    def _variables(self, state: TrainState) -> Dict:
+        v = {"params": state.params}
+        if state.masks:
+            v["masks"] = state.masks
+        return v
+
+    def make_decode_fn(self, opt: Dict):
+        """Jitted encode+generate for a fixed option dict."""
+        model = self.model
+        opt = dict(opt)
+        opt.setdefault("max_seq_length", int(self.config.get("max_seq_length", 18)) - 1)
+
+        @jax.jit
+        def decode(variables, inputs, rng):
+            enc_kwargs = {k: v for k, v in inputs.items() if k != "seqs"}
+            memory = model.apply(variables, **enc_kwargs, method="encode")
+            return generate(model, variables, memory, opt, rng=rng)
+
+        return decode
+
+    def _cached_decode(self, key: str, opt: Dict):
+        if key not in self._jit_cache:
+            self._jit_cache[key] = self.make_decode_fn(opt)
+        return self._jit_cache[key]
+
+    # ---------------------------------------------------------------- SCST
+    def make_scst_step(self):
+        config = self.config
+        model = self.model
+        opt_w, opt_m = self.opt_w, self.opt_m
+        num_samples = int(config.get("scst_num_samples", 15))
+        sample_mode = config.get("scst_sample", "random")
+        baseline_mode = config.get("scst_baseline", "greedy")
+        assert sample_mode in self.SCST_SAMPLE and baseline_mode in self.SCST_BASELINE
+        max_len = int(config.get("max_seq_length", 18)) - 1
+
+        if sample_mode == "beam_search":
+            sample_opt = {"beam_size": num_samples, "max_seq_length": max_len}
+        else:
+            sample_opt = {"num_random_sample": num_samples, "beam_size": 0, "max_seq_length": max_len,
+                          "temperature": float(config.get("scst_temperature", 1.0))}
+        greedy_opt = {"beam_size": 1, "max_seq_length": max_len}
+
+        @jax.jit
+        def sample_fn(variables, inputs, rng):
+            enc_kwargs = {k: v for k, v in inputs.items() if k != "seqs"}
+            memory = model.apply(variables, **enc_kwargs, method="encode")
+            sample_seq, _ = generate(model, variables, memory, sample_opt, rng=rng)
+            out = {"sample": sample_seq}
+            if baseline_mode == "greedy":
+                out["greedy"] = generate(model, variables, memory, greedy_opt)[0]
+            return out
+
+        @jax.jit
+        def grad_fn(state: TrainState, inputs, sample_seq, rewards, rng):
+            """Teacher-force the sampled sequences, REINFORCE update."""
+            k_drop, k_mask = jax.random.split(rng)
+            b, s, t = sample_seq.shape
+            flat = sample_seq.reshape(b * s, t)
+            bos = jnp.full((b * s, 1), model.bos_id, dtype=flat.dtype)
+            seqs_in = jnp.concatenate([bos, flat], axis=1)  # (B*S, T+1)
+            tf_inputs = {k: v for k, v in inputs.items() if k != "seqs"}
+
+            def loss_fn(params, masks):
+                variables = {"params": params}
+                if masks:
+                    variables["masks"] = masks
+                lp = model.apply(variables, **tf_inputs, seqs=seqs_in, train=True,
+                                 rngs={"dropout": k_drop, "mask": k_mask})
+                chosen = jnp.take_along_axis(lp, flat[..., None].astype(jnp.int32), axis=2)[..., 0]
+                mask = (flat != model.pad_id).astype(lp.dtype)
+                return losses_mod.reward_loss(chosen, mask, rewards)
+
+            loss, grads = jax.value_and_grad(loss_fn, argnums=(0, 1))(state.params, state.masks)
+            gw, gm = grads
+            uw, new_opt_w = opt_w.update(gw, state.opt_w, state.params)
+            params = optax.apply_updates(state.params, uw)
+            um, new_opt_m = opt_m.update(gm, state.opt_m, state.masks)
+            masks = optax.apply_updates(state.masks, um) if state.masks else state.masks
+            return state.replace(params=params, masks=masks, opt_w=new_opt_w, opt_m=new_opt_m,
+                                 step=state.step + 1), loss
+
+        def scst_step(state: TrainState, batch, rng):
+            inputs = self._model_inputs(batch, with_seqs=False)
+            k_sample, k_grad = jax.random.split(rng)
+            res = sample_fn(self._variables(state), inputs, k_sample)
+            sample_seq = res["sample"]  # (B, S, T)
+            sample_np = np.asarray(sample_seq)
+            sample_decoded = [[self.tokenizer.decode(sample_np[i, j]) for j in range(sample_np.shape[1])]
+                              for i in range(sample_np.shape[0])]
+            if baseline_mode == "greedy":
+                greedy_np = np.asarray(res["greedy"])
+                baseline_decoded = [[self.tokenizer.decode(greedy_np[i, 0])] for i in range(greedy_np.shape[0])]
+            else:
+                baseline_decoded = None
+            sc_sample, sc_baseline = self.scst_scorer(refs=batch["gts"], sample=sample_decoded,
+                                                      baseline=baseline_decoded)
+            rewards = jnp.asarray(sc_sample - sc_baseline, dtype=jnp.float32)
+            state, loss = grad_fn(state, inputs, sample_seq, rewards, k_grad)
+            return state, loss, {"avg_reward": float(np.mean(sc_sample - sc_baseline)),
+                                 "avg_sample": float(np.mean(sc_sample)),
+                                 "avg_baseline": float(np.mean(sc_baseline))}
+
+        return scst_step
+
+    # ----------------------------------------------------------------- eval
+    def eval_on_split(self, loader: BatchLoader, split: str):
+        config = self.config
+        beam_size = int(config.get(f"beam_size_{split}", config.get("beam_size", 1)))
+        opt = {"beam_size": beam_size}
+        if beam_size <= 1:
+            opt = {"beam_size": 1}
+        decode = self._cached_decode(f"eval_beam{beam_size}", opt)
+        variables = self._variables(self.state)
+
+        t0 = time.perf_counter()
+        predictions, image_paths = [], []
+        for batch in loader:
+            inputs = self._model_inputs(batch, with_seqs=False)
+            seq, _ = decode(variables, inputs, jax.random.PRNGKey(0))
+            seq = np.asarray(seq)[: batch["batch_valid"]]
+            predictions += [self.tokenizer.decode(seq[i, 0]) for i in range(seq.shape[0])]
+            image_paths += batch["image_paths"][: batch["batch_valid"]]
+        n_img = len(image_paths)
+        logger.info("eval %s: %.2f img/sec", split, n_img / max(time.perf_counter() - t0, 1e-9))
+
+        is_test2014 = config.get("mscoco_online_test", False) and split == "test"
+        out_dir = os.path.join(config.log_dir, f"{'test2014' if is_test2014 else split}_beam_{beam_size}")
+        if config.get("eval_dir_suffix"):
+            out_dir += f"_{config.eval_dir_suffix}"
+        json_fpath = os.path.join(out_dir, f"caption_{self.global_step:08d}.json")
+        self.data.coco_caption_json_dump(zip(image_paths, predictions), json_fpath)
+
+        if is_test2014:
+            return predictions, None, out_dir
+        scores, scores_detailed, _ = evaluate_caption_json(
+            res_file=json_fpath, ann_file=self.data.annotation_file_path()
+        )
+        dump_json(os.path.join(out_dir, f"score_{self.global_step:08d}.json"), scores, indent=2, sort_keys=True)
+        dump_json(os.path.join(out_dir, f"score_{self.global_step:08d}_detailed.json"),
+                  {str(k): v for k, v in scores_detailed.items()}, indent=2, sort_keys=True)
+        csv_append_row(
+            os.path.join(out_dir, "scores.csv"),
+            ["Step"] + self.ALL_METRICS,
+            [f"{self.global_step:08d}"] + [f"{scores.get(k, float('nan')):.3f}" for k in self.ALL_METRICS],
+        )
+        return predictions, scores, out_dir
+
+    # ----------------------------------------------------------- checkpoint
+    def save_checkpoint(self, tag: str) -> None:
+        save_pytree(self.checkpoint_path.format(tag), {"params": self.state.params, "masks": self.state.masks})
+        save_pytree(self.optimizer_path.format(tag),
+                    {"opt_w": self.state.opt_w, "opt_m": self.state.opt_m, "step": self.state.step})
+
+    def maybe_load_checkpoint(self) -> bool:
+        config = self.config
+        start_from = config.get("start_from")
+        if not start_from:
+            return False
+        if os.path.isfile(start_from):
+            restore_dir, model_file = os.path.dirname(start_from), start_from
+        elif os.path.isdir(start_from):
+            restore_dir = start_from
+            tag = "last" if config.get("resume_training", False) else "best"
+            model_file = os.path.join(start_from, f"model_{tag}.msgpack")
+        else:
+            raise ValueError(f"start_from must be a file or dir: {start_from}")
+        # cross-config checks (reference training.py:160-178)
+        old_cfg_path = os.path.join(restore_dir, "config.json")
+        if os.path.isfile(old_cfg_path):
+            old = Config.load_config_json(old_cfg_path)
+            for check in ("caption_model", "rnn_size", "num_layers", "d_model"):
+                if check in old and check in config and old.get(check) != config.get(check):
+                    logger.warning("config mismatch on `%s`: provided %s vs loaded %s",
+                                   check, config.get(check), old.get(check))
+        restore_log = os.path.join(config.log_dir, "restore_log.txt")
+        target = {"params": self.state.params, "masks": self.state.masks}
+        merged, _, _ = restore_lenient(target, model_file, restore_log)
+        self.state = self.state.replace(params=merged["params"], masks=merged.get("masks", {}))
+        if config.get("resume_training", False):
+            opt_file = os.path.join(restore_dir, "optimizer_last.msgpack")
+            if os.path.isfile(opt_file):
+                opt = load_pytree(opt_file, {"opt_w": self.state.opt_w, "opt_m": self.state.opt_m,
+                                             "step": self.state.step})
+                self.state = self.state.replace(opt_w=opt["opt_w"], opt_m=opt["opt_m"], step=opt["step"])
+                self.global_step = int(opt["step"])
+        config.model_restored = True
+        logger.info("model weights loaded from %s", model_file)
+        return True
+
+    # ------------------------------------------------------------ train loop
+    def train(self) -> None:
+        config = self.config
+        self.prepare()
+        self.init_state()
+        self.save_checkpoint("init")  # lottery-ticket snapshot
+        self.maybe_load_checkpoint()
+        self.post_restore_hook()
+
+        xe_step = self.make_xe_step()
+        scst_step = None
+        rng = jax.random.PRNGKey(int(config.get("seed", 8888)) + 1)
+        save_every = int(config.get("save_checkpoint_every", 6000))
+        log_every = int(config.get("losses_log_every", 25))
+        t_start = time.time()
+        bs = self.train_loader.batch_size
+
+        for epoch in range(config.max_epochs):
+            sc_flag = 0 <= int(config.get("scst_start_epoch", -1)) <= epoch
+            if sc_flag and scst_step is None:
+                scst_step = self.make_scst_step()
+            for batch in self.train_loader:
+                rng, k = jax.random.split(rng)
+                if sc_flag:
+                    self.state, loss, aux = scst_step(self.state, batch, k)
+                else:
+                    inputs = self._model_inputs(batch)
+                    self.state, loss, aux = xe_step(self.state, inputs, jnp.asarray(batch["masks"]), k)
+                self.global_step += 1
+                self.pre_log_hook(epoch)
+
+                if self.global_step % 5 == 0:
+                    dt, t_start = time.time() - t_start, time.time()
+                    n_ex = bs * 5 * (1 if sc_flag else config.get("seq_per_img", 5))
+                    lr = float(self._schedule(jnp.asarray(self.global_step)))
+                    logger.info("epoch %d iter %d: %.0f ex/sec, lr %.2e, loss %.3f",
+                                epoch, self.global_step, n_ex / max(dt, 1e-9), lr, float(loss))
+                if self.global_step % log_every == 0:
+                    self.tb.add_scalar("train/loss", float(loss), self.global_step)
+                    self.tb.add_scalar("train/learning_rate",
+                                       float(self._schedule(jnp.asarray(self.global_step))), self.global_step)
+                    for k2, v in (aux or {}).items():
+                        if isinstance(v, (int, float)) or (hasattr(v, "ndim") and v.ndim == 0):
+                            self.tb.add_scalar(f"train/{k2}", float(v), self.global_step)
+
+                if self.global_step % save_every == 0 or self.global_step == self.max_train_step:
+                    self.checkpoint_and_eval()
+        self.tb.close()
+
+    # hooks overridden by the prune trainer
+    def post_restore_hook(self) -> None:
+        pass
+
+    def pre_log_hook(self, epoch: int) -> None:
+        pass
+
+    def allow_best_checkpoint(self) -> bool:
+        return True
+
+    def checkpoint_and_eval(self) -> None:
+        predictions, scores, _ = self.eval_on_split(self.val_loader, split="val")
+        if scores:
+            for k, v in scores.items():
+                self.tb.add_scalar(f"val/{k}", v, self.global_step)
+        self.save_checkpoint("last")
+        if scores and scores.get("CIDEr", 0.0) > self.best_val_score and self.allow_best_checkpoint():
+            self.best_val_score = scores["CIDEr"]
+            self.save_checkpoint("best")
+            self.config.best_global_step = self.global_step
+        self.config.save_config(self.config.log_dir)
+
+    # ------------------------------------------------------------ eval entry
+    def eval_test(self) -> Dict:
+        self.val_loader = self.get_loader("val", train=False)
+        test_loader = self.get_loader("test", train=False)
+        self.config.beam_size_test = self.config.get("beam_size_test", 2)
+        _, scores, _ = self.eval_on_split(test_loader, split="test")
+        return scores

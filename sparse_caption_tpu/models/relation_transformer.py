@@ -59,6 +59,7 @@ class BoxEncoderLayer(nn.Module):
 
 
 @register_model("relation_transformer")
+@register_model("relation_transformer_prune")
 class RelationTransformer(Transformer):
     """ORT: box-relation encoder + cached transformer decoder.
 

@@ -123,6 +123,7 @@ def subsequent_mask(t: int):
 
 
 @register_model("transformer")
+@register_model("transformer_prune")
 class Transformer(nn.Module):
     """Flagship caption transformer. COLLATE fields: att (+ optional fc unused)."""
 

@@ -71,6 +71,7 @@ class AdditiveAttention(nn.Module):
 
 
 @register_model("up_down_lstm")
+@register_model("up_down_lstm_prune")
 class UpDownModel(nn.Module):
     vocab_size: int
     rnn_size: int = 1000

@@ -1,0 +1,117 @@
+"""Two-stage CLI argument assembly (parity: reference ``sparse_caption/opts.py:17-77``).
+
+Stage 1 parses dataset / tokenizer / caption_model names; stage 2 merges
+each selected component's ``add_argparse_args`` group plus the training
+flags, preserving the reference's public flag surface (it is the API).
+"""
+
+from __future__ import annotations
+
+import os
+from argparse import ArgumentDefaultsHelpFormatter, ArgumentParser, Namespace
+
+from sparse_caption_tpu.config import Config, list_of_floats, list_of_ints
+from sparse_caption_tpu.data import DATASET_REGISTRY, get_dataset
+from sparse_caption_tpu.engine.optim import ALL_OPTIMIZERS, ALL_SCHEDULERS
+from sparse_caption_tpu.models import MODEL_REGISTRY, get_model
+from sparse_caption_tpu.pruning import VALID_MASKS
+from sparse_caption_tpu.tokenizers import TOKENIZER_REGISTRY, get_tokenizer
+
+
+def add_training_args(parser) -> None:
+    """Training/eval flag surface (reference utils/training.py:346-513)."""
+    parser.add_argument("--seed", type=int, default=8888)
+    parser.add_argument("--cache_min_free_ram", type=float, default=0.4)
+    parser.add_argument("--num_workers", type=int, default=4)
+    parser.add_argument("--cached_tokens", type=str, default=None)
+    parser.add_argument("--id", type=str, default="")
+    parser.add_argument("--log_dir", type=str, default="runs")
+    parser.add_argument("--start_from", type=str, default="")
+    parser.add_argument("--resume_training", action="store_true")
+    parser.add_argument("--save_checkpoint_every", type=int, default=6000)
+    parser.add_argument("--losses_log_every", type=int, default=25)
+    parser.add_argument("--batch_size", type=int, default=15)
+    parser.add_argument("--batch_size_eval", type=int, default=50)
+    parser.add_argument("--max_epochs", type=int, default=15)
+    parser.add_argument("--weight_decay", type=float, default=0.0)
+    parser.add_argument("--grad_clip", type=float, default=0.1)
+    parser.add_argument("--label_smoothing", type=float, default=0.0)
+    parser.add_argument("--optim", type=str, default="adam", choices=ALL_OPTIMIZERS)
+    parser.add_argument("--optim_alpha", type=float, default=0.9)
+    parser.add_argument("--optim_beta", type=float, default=0.999)
+    parser.add_argument("--optim_epsilon", type=float, default=1e-8)
+    parser.add_argument("--lr_scheduler", type=str, default="noam", choices=ALL_SCHEDULERS)
+    parser.add_argument("--noamopt_warmup", type=int, default=10000)
+    parser.add_argument("--noamopt_factor", type=float, default=1.0)
+    parser.add_argument("--learning_rate", type=float, default=5e-4)
+    parser.add_argument("--learning_rate_min", type=float, default=1e-5)
+    parser.add_argument("--learning_rate_decay_start", type=int, default=0)
+    parser.add_argument("--learning_rate_decay_every", type=int, default=3)
+    parser.add_argument("--learning_rate_decay_rate", type=float, default=0.8)
+    parser.add_argument("--scst_start_epoch", type=int, default=-1)
+    parser.add_argument("--scst_num_samples", type=int, default=10)
+    parser.add_argument("--scst_sample", type=str, default="random", choices=["beam_search", "random"])
+    parser.add_argument("--scst_baseline", type=str, default="sample", choices=["greedy", "sample"])
+    parser.add_argument("--scst_cider_weight", type=float, default=1.0)
+    parser.add_argument("--scst_bleu_weight", type=list_of_floats, default=(0.0, 0.0, 0.0, 0.0))
+    parser.add_argument("--beam_size_test", type=int, default=2)
+    parser.add_argument("--beam_size_val", type=int, default=1)
+    parser.add_argument("--eval_dir_suffix", type=str, default=None)
+    parser.add_argument("--max_att_regions", type=int, default=36)
+    parser.add_argument("--mesh_shape", type=str, default=None,
+                        help="device mesh, e.g. '4,2' for (data=4, model=2); None = single device")
+    parser.add_argument("--platform", type=str, default=None, choices=[None, "cpu", "tpu"],
+                        help="pin the JAX platform (overrides environment plugins)")
+
+
+def add_pruning_args(parser) -> None:
+    """Pruning flag surface (reference pruning/prune.py:436-476)."""
+    parser.add_argument("--prune_type", type=str, default="", choices=list(VALID_MASKS) + [""])
+    parser.add_argument("--prune_sparsity_target", type=float, default=0.8)
+    parser.add_argument("--prune_mask_freeze_scope", type=str, default="")
+    parser.add_argument("--prune_snip_grad_accum", type=int, default=1)
+    parser.add_argument("--prune_supermask_init", type=float, default=5.0)
+    parser.add_argument("--prune_supermask_sparsity_weight", type=float, default=-1.0)
+    parser.add_argument("--prune_supermask_lr", type=float, default=1e2)
+    parser.add_argument("--prune_supermask_bypass_sigmoid_grad", action="store_true")
+    parser.add_argument("--prune_gradual_frequency", type=int, default=1000)
+
+
+def parse_opt(arguments=None, include_pruning: bool = False) -> Namespace:
+    parser = ArgumentParser(formatter_class=ArgumentDefaultsHelpFormatter)
+    # stage 1: component selection
+    DATASET_REGISTRY.import_all("sparse_caption_tpu.data")
+    TOKENIZER_REGISTRY.import_all("sparse_caption_tpu.tokenizers")
+    MODEL_REGISTRY.import_all("sparse_caption_tpu.models")
+    parser.add_argument("--dataset", type=str, default="mscoco", choices=DATASET_REGISTRY.names())
+    parser.add_argument("--tokenizer", type=str, default="word", choices=TOKENIZER_REGISTRY.names())
+    parser.add_argument("--caption_model", type=str, default="relation_transformer",
+                        choices=MODEL_REGISTRY.names())
+    parser.add_argument("--logging_level", type=str, default="INFO",
+                        choices=["CRITICAL", "ERROR", "WARNING", "INFO", "DEBUG"])
+    args, _ = parser.parse_known_args(arguments)
+
+    # stage 2: component argument groups
+    add_training_args(parser.add_argument_group("Training"))
+    get_dataset(args.dataset).add_argparse_args(parser.add_argument_group("Dataset"))
+    get_tokenizer(args.tokenizer).add_argparse_args(parser.add_argument_group("Tokenizer"))
+    get_model(args.caption_model).add_argparse_args(parser.add_argument_group("Model"))
+    parser.add_argument("--max_seq_length", type=int, default=None,
+                        help="max caption length incl. BOS/EOS; default per tokenizer")
+    parser.add_argument("--seq_per_img", type=int, default=5)
+    parser.add_argument("--input_att_dir", type=str, default=None)
+    parser.add_argument("--input_fc_dir", type=str, default=None)
+    parser.add_argument("--input_rel_box_dir", type=str, default=None)
+    if include_pruning or args.caption_model.endswith("_prune"):
+        add_pruning_args(parser.add_argument_group("Pruning"))
+    args = parser.parse_args(arguments)
+
+    if args.max_seq_length is None:
+        tok_cls = get_tokenizer(args.tokenizer)
+        args.max_seq_length = getattr(tok_cls, "DEFAULT_MAX_SEQ_LENGTH", 18)
+    args.log_dir = os.path.join(args.log_dir, f"{args.id}") if args.id else args.log_dir
+    return args
+
+
+def config_from_args(args: Namespace) -> Config:
+    return Config(**vars(args))

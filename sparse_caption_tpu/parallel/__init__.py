@@ -1,0 +1,6 @@
+from sparse_caption_tpu.parallel.mesh import (  # noqa: F401
+    make_mesh,
+    param_sharding,
+    shard_batch,
+    shard_state,
+)

@@ -1,0 +1,121 @@
+"""Device-mesh parallelism (new component — the reference is single-GPU,
+SURVEY §2.11; this is TPU-first scale-out, not a port).
+
+Design: a 2-D ``jax.sharding.Mesh`` with axes ``("data", "model")``.
+
+* **data**: batch-dim sharding for XE teacher forcing, SCST sampling, and
+  eval decode — per-example work is independent, so gradients reduce with
+  one psum over ICI (inserted automatically by XLA under jit once inputs
+  carry NamedShardings)
+* **model**: tensor parallelism over attention heads / FFN hidden dim —
+  column-parallel first projections ``P(None, "model")``, row-parallel
+  second projections ``P("model", None)``; XLA inserts the all-reduce after
+  the row-parallel matmul (Megatron-style, expressed purely as shardings)
+
+Supermask note: masks are **replicated** and sampled with a shared key so
+every data shard sees the same mask draw, preserving the reference's
+single-global-mask-per-forward semantics (SURVEY §7.1).
+"""
+
+from __future__ import annotations
+
+import re
+from typing import Any, Optional
+
+import jax
+import numpy as np
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+DATA_AXIS = "data"
+MODEL_AXIS = "model"
+
+# column-parallel kernels: output dim sharded; row-parallel: input dim sharded
+_COL_PARALLEL = re.compile(r"(w_1|q_proj|k_proj|v_proj|kv_proj)$")
+_ROW_PARALLEL = re.compile(r"(w_2|out_proj)$")
+
+
+def make_mesh(shape: Optional[str] = None, devices=None) -> Mesh:
+    """shape "4,2" -> Mesh(data=4, model=2); None -> all devices on data."""
+    devices = devices if devices is not None else jax.devices()
+    if shape:
+        dims = [int(x) for x in str(shape).replace(" ", "").split(",")]
+        if len(dims) == 1:
+            dims = dims + [1]
+        assert len(dims) == 2, f"mesh_shape must be 1- or 2-D, got {shape}"
+        n = dims[0] * dims[1]
+        assert n <= len(devices), f"mesh {dims} needs {n} devices, have {len(devices)}"
+        mesh_devices = np.asarray(devices[:n]).reshape(dims)
+    else:
+        mesh_devices = np.asarray(devices).reshape(len(devices), 1)
+    return Mesh(mesh_devices, (DATA_AXIS, MODEL_AXIS))
+
+
+def shard_batch(batch: Any, mesh: Mesh) -> Any:
+    """Device-put every array leaf sharded on the batch (leading) axis."""
+
+    def put(x):
+        x = np.asarray(x) if not hasattr(x, "sharding") else x
+        spec = P(DATA_AXIS, *([None] * (x.ndim - 1))) if getattr(x, "ndim", 0) >= 1 else P()
+        return jax.device_put(x, NamedSharding(mesh, spec))
+
+    return jax.tree.map(put, batch)
+
+
+def _param_spec(path_names, leaf) -> P:
+    """Tensor-parallel spec for a parameter leaf by its module path."""
+    if getattr(leaf, "ndim", 0) != 2:
+        return P()  # biases, layernorm scales, masks: replicated
+    parent = path_names[-2] if len(path_names) >= 2 else ""
+    if _COL_PARALLEL.search(parent):
+        return P(None, MODEL_AXIS)
+    if _ROW_PARALLEL.search(parent):
+        return P(MODEL_AXIS, None)
+    return P()
+
+
+def param_sharding(params: Any, mesh: Mesh) -> Any:
+    """NamedSharding pytree for params: TP on attention/FFN kernels when the
+    model axis is >1, replicated otherwise."""
+    flat = jax.tree_util.tree_flatten_with_path(params)[0]
+
+    def name_of(k):
+        return getattr(k, "key", getattr(k, "name", str(k)))
+
+    specs = {}
+    for path, leaf in flat:
+        names = tuple(name_of(k) for k in path)
+        if mesh.shape[MODEL_AXIS] > 1:
+            specs[names] = _param_spec(names, leaf)
+        else:
+            specs[names] = P()
+    treedef = jax.tree_util.tree_structure(params)
+    flat_specs = [NamedSharding(mesh, specs[tuple(name_of(k) for k in path)]) for path, _ in flat]
+    return jax.tree_util.tree_unflatten(treedef, flat_specs)
+
+
+def shard_state(state: Any, mesh: Mesh, params_field: str = "params") -> Any:
+    """Device-put a TrainState: params (+ their optimizer moments) under TP
+    shardings, masks and scalars replicated."""
+    p_shard = param_sharding(getattr(state, params_field), mesh)
+    repl = NamedSharding(mesh, P())
+
+    def put_params(x, s):
+        return jax.device_put(x, s)
+
+    params = jax.tree.map(put_params, getattr(state, params_field), p_shard)
+
+    def put_repl(x):
+        return jax.device_put(x, repl)
+
+    def put_opt(tree):
+        # optimizer moments mirror the param tree inside adam state; shard
+        # matching-shaped leaves like their params, replicate the rest
+        flat_params = {tuple(str(k) for k, _ in []): None}
+        del flat_params
+        return jax.tree.map(put_repl, tree)
+
+    new = state.replace(params=params)
+    for field in ("masks", "opt_w", "opt_m", "step"):
+        if hasattr(new, field):
+            new = new.replace(**{field: jax.tree.map(put_repl, getattr(new, field))})
+    return new

@@ -52,7 +52,7 @@ def base_to_decimal(digits, base: int) -> int:
 @register_tokenizer("radix")
 class RadixTokenizer(WordTokenizer):
     MODEL_TYPE = "word"  # underlying artifact is the word vocab
-    DEFAULT_MAX_SEQ_LENGTH = 30
+    DEFAULT_MAX_SEQ_LENGTH = 26  # radix tokens (reference tokenizer.py:604-615)
 
     def __init__(self, config):
         self.radix_base = int(config.get("radix_base", 768))

@@ -33,7 +33,7 @@ SPECIALS = ("<pad>", "<unk>", "<bos>", "<eos>")
 @register_tokenizer("word")
 class WordTokenizer(Tokenizer):
     MODEL_TYPE = "word"
-    DEFAULT_MAX_SEQ_LENGTH = 16
+    DEFAULT_MAX_SEQ_LENGTH = 18  # incl. BOS/EOS (reference collate.py:174-177)
 
     def __init__(self, config):
         self.config = config

@@ -5,6 +5,19 @@ from __future__ import annotations
 import os
 
 
+def select_platform(platform: str | None) -> None:
+    """Pin the JAX platform. Must run before any backend initialization.
+
+    Needed because environment plugins (e.g. the axon TPU plugin) can force
+    a platform regardless of ``JAX_PLATFORMS``; ``jax.config`` wins.
+    """
+    if not platform:
+        return
+    import jax
+
+    jax.config.update("jax_platforms", platform)
+
+
 def enable_persistent_cache(cache_dir: str | None = None) -> None:
     """Enable the XLA persistent compilation cache (big win on slow hosts;
     TPU executables are cached too, cutting the ~20-40s first-compile cost

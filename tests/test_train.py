@@ -1,0 +1,136 @@
+"""End-to-end training smoke tests (parity model: reference
+tests/test_train.py:80-102 — every model trains for 1 epoch on the tiny
+fixture dataset with micro configs, then prune variants per mask type)."""
+
+import os
+import sys
+
+import pytest
+
+sys.path.insert(0, os.path.join(os.path.dirname(__file__), "..", "scripts"))
+
+from sparse_caption_tpu.config import Config
+from sparse_caption_tpu.opts import parse_opt
+
+
+def tiny_args(fixture_dataset, log_dir, model, extra=()):
+    return [
+        "--caption_model", model,
+        "--dataset", "mscoco_testing",
+        "--dataset_dir", fixture_dataset,
+        "--log_dir", str(log_dir),
+        "--tokenizer", "word",
+        "--vocab_size", "64",
+        "--batch_size", "2",
+        "--batch_size_eval", "2",
+        "--max_epochs", "1",
+        "--max_seq_length", "10",
+        "--save_checkpoint_every", "1",
+        "--losses_log_every", "1",
+        "--max_att_regions", "8",
+        "--att_feat_size", "16",
+        "--seq_per_img", "3",
+        "--cache_min_free_ram", "1.0",
+    ] + list(extra)
+
+
+TINY_TRANSFORMER = ["--d_model", "8", "--dim_feedforward", "16", "--num_layers", "1", "--num_heads", "2"]
+TINY_UPDOWN = ["--rnn_size", "8", "--input_encoding_size", "8", "--att_hid_size", "8", "--fc_feat_size", "16"]
+
+
+def run_train(argv, prune: bool = False):
+    args = parse_opt(argv, include_pruning=prune)
+    config = Config(**vars(args))
+    if prune:
+        from sparse_caption_tpu.engine.prune_training import PruneTrainingModule
+
+        module = PruneTrainingModule(config)
+    else:
+        from sparse_caption_tpu.engine.training import TrainingModule
+
+        module = TrainingModule(config)
+    module.train()
+    return module
+
+
+@pytest.mark.parametrize(
+    "model,extra",
+    [
+        ("transformer", TINY_TRANSFORMER),
+        ("relation_transformer", TINY_TRANSFORMER),
+        ("up_down_lstm", TINY_UPDOWN),
+    ],
+)
+def test_train_dense(model, extra, fixture_dataset, tmp_path):
+    module = run_train(tiny_args(fixture_dataset, tmp_path / model, model, extra))
+    # run dir artifacts (reference checkpoint layout)
+    for f in ["config.json", "model_init.msgpack", "model_last.msgpack", "model_params.json"]:
+        assert os.path.isfile(os.path.join(module.config.log_dir, f)), f
+    # a val eval happened and produced scores
+    val_dir = os.path.join(module.config.log_dir, "val_beam_1")
+    assert os.path.isfile(os.path.join(val_dir, "scores.csv"))
+
+
+def test_train_acort_radix_sharing(fixture_dataset, tmp_path):
+    """ACORT = ORT + radix tokenizer + kv sharing + layer sharing."""
+    argv = tiny_args(fixture_dataset, tmp_path, "relation_transformer",
+                     TINY_TRANSFORMER + ["--tokenizer", "radix", "--radix_base", "8",
+                                         "--num_layers", "2",
+                                         "--share_att_encoder", "kv", "--share_att_decoder", "kv",
+                                         "--share_layer_encoder", "0,0", "--share_layer_decoder", "0,0"])
+    # radix max_seq default handling
+    argv += ["--max_seq_length", "12"]
+    module = run_train(argv)
+    assert os.path.isfile(os.path.join(module.config.log_dir, "model_last.msgpack"))
+
+
+@pytest.mark.parametrize("prune_type", ["supermask", "snip", "mag_blind", "mag_uniform", "mag_dist"])
+def test_train_prune(prune_type, fixture_dataset, tmp_path):
+    argv = tiny_args(fixture_dataset, tmp_path, "relation_transformer_prune",
+                     TINY_TRANSFORMER + ["--prune_type", prune_type, "--prune_sparsity_target", "0.5"])
+    module = run_train(argv, prune=True)
+    log_dir = module.config.log_dir
+    assert os.path.isfile(os.path.join(log_dir, "mask_params.json"))
+    from sparse_caption_tpu.pruning.engine import mask_sparsity
+
+    s, _, _ = mask_sparsity(module.state.masks, prune_type)
+    # one-shot magnitude masks are frozen -> stay at target; supermask needs
+    # many steps; SNIP masks are gradient-trained at lr=100 after the one-shot
+    # prune (reference masked_layer.py:58-70 + train_n_prune param groups), so
+    # post-training sparsity is unconstrained — its one-shot accuracy is
+    # asserted in test_pruning.py::TestSnip
+    if prune_type not in ("supermask", "snip"):
+        assert abs(float(s) - 0.5) < 0.05
+
+
+def test_train_prune_lottery(fixture_dataset, tmp_path):
+    argv = tiny_args(fixture_dataset, tmp_path, "up_down_lstm_prune",
+                     TINY_UPDOWN + ["--prune_type", "lottery_mag_blind", "--prune_sparsity_target", "0.5"])
+    module = run_train(argv, prune=True)
+    from sparse_caption_tpu.pruning.engine import mask_sparsity
+
+    s, _, _ = mask_sparsity(module.state.masks, "lottery_mag_blind")
+    assert abs(float(s) - 0.5) < 0.05
+
+
+def test_train_scst_random_sample_mean(fixture_dataset, tmp_path):
+    """1-epoch SCST run from scratch (random sampling, sample-mean baseline)."""
+    argv = tiny_args(fixture_dataset, tmp_path, "transformer",
+                     TINY_TRANSFORMER + ["--scst_start_epoch", "0", "--scst_num_samples", "3",
+                                         "--scst_sample", "random", "--scst_baseline", "sample"])
+    module = run_train(argv)
+    assert os.path.isfile(os.path.join(module.config.log_dir, "model_last.msgpack"))
+
+
+def test_eval_model_script(fixture_dataset, tmp_path):
+    module = run_train(tiny_args(fixture_dataset, tmp_path, "transformer", TINY_TRANSFORMER))
+    import subprocess
+
+    env = dict(os.environ, JAX_PLATFORMS="cpu")
+    r = subprocess.run(
+        [sys.executable, os.path.join(os.path.dirname(__file__), "..", "scripts", "eval_model.py"),
+         "--log_dir", module.config.log_dir, "--ckpt", "last", "--split", "val", "--beam_size", "2"],
+        capture_output=True, text=True, env=env, timeout=900,
+    )
+    assert r.returncode == 0, r.stderr[-3000:]
+    assert "CIDEr" in r.stdout
