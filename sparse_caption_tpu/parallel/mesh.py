@@ -93,29 +93,19 @@ def param_sharding(params: Any, mesh: Mesh) -> Any:
     return jax.tree_util.tree_unflatten(treedef, flat_specs)
 
 
-def shard_state(state: Any, mesh: Mesh, params_field: str = "params") -> Any:
-    """Device-put a TrainState: params (+ their optimizer moments) under TP
-    shardings, masks and scalars replicated."""
-    p_shard = param_sharding(getattr(state, params_field), mesh)
+def shard_state(state: Any, mesh: Mesh) -> Any:
+    """Device-put a TrainState: params under TP shardings; masks, optimizer
+    moments and counters replicated.
+
+    (Optimizer moments mirroring sharded params get resharded lazily by XLA
+    on first use; a structure-matched moment sharding is a later perf
+    refinement — dryrun/bench correctness does not depend on it.)
+    """
+    p_shard = param_sharding(state.params, mesh)
     repl = NamedSharding(mesh, P())
-
-    def put_params(x, s):
-        return jax.device_put(x, s)
-
-    params = jax.tree.map(put_params, getattr(state, params_field), p_shard)
-
-    def put_repl(x):
-        return jax.device_put(x, repl)
-
-    def put_opt(tree):
-        # optimizer moments mirror the param tree inside adam state; shard
-        # matching-shaped leaves like their params, replicate the rest
-        flat_params = {tuple(str(k) for k, _ in []): None}
-        del flat_params
-        return jax.tree.map(put_repl, tree)
-
+    params = jax.tree.map(jax.device_put, state.params, p_shard)
     new = state.replace(params=params)
     for field in ("masks", "opt_w", "opt_m", "step"):
         if hasattr(new, field):
-            new = new.replace(**{field: jax.tree.map(put_repl, getattr(new, field))})
+            new = new.replace(**{field: jax.tree.map(lambda x: jax.device_put(x, repl), getattr(new, field))})
     return new
