@@ -137,7 +137,14 @@ class TrainingModule:
                 refs = [d["all_gts"] for d in self.data.get_split("train", generation_mode=True)]
                 os.makedirs(os.path.dirname(df_path), exist_ok=True)
                 build_df_pickle(refs, df_path)
-            self.scst_scorer = CaptionScorer(
+            scorer_cls = CaptionScorer
+            if bool(config.get("scst_use_native", True)):
+                from sparse_caption_tpu.scst import native as native_scst
+
+                if native_scst.is_available():
+                    scorer_cls = native_scst.NativeCaptionScorer
+                    logger.info("using native (C++) SCST reward scorer")
+            self.scst_scorer = scorer_cls(
                 config.cached_tokens,
                 cider_weight=float(config.get("scst_cider_weight", 1.0)),
                 bleu_weight=config.get("scst_bleu_weight", [0.0] * 4),
