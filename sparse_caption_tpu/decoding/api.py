@@ -68,11 +68,9 @@ def generate(
         return seq.reshape(b, num_random_sample, max_len), seq_lp.reshape(b, num_random_sample, max_len)
 
     if beam_size > 1:
-        mem = _repeat_pytree(memory, beam_size)
-        cache = model.apply(variables, mem, max_len + 1, method="init_cache")
+        group_size = int(opt.get("group_size", 1))
         vocab = model.vocab_size
-        seq, seq_lp = beam_search(
-            make_step(mem), cache, b, beam_size, max_len, vocab,
+        common = dict(
             bos_id=model.bos_id, eos_id=model.eos_id, pad_id=model.pad_id,
             unk_id=model.unk_id,
             length_penalty=str(opt.get("length_penalty", "")),
@@ -80,7 +78,33 @@ def generate(
             suppress_unk=int(opt.get("suppress_UNK", 0)),
             bad_ending_ids=opt.get("bad_ending_ids"),
         )
-        return seq, seq_lp
+        if group_size <= 1:
+            mem = _repeat_pytree(memory, beam_size)
+            cache = model.apply(variables, mem, max_len + 1, method="init_cache")
+            return beam_search(make_step(mem), cache, b, beam_size, max_len, vocab, **common)
+
+        # diverse beam search (reference caption_model.py:30-226): groups of
+        # bdash beams run sequentially; group g's logprobs at local time t are
+        # penalized by lambda x counts of earlier groups' tokens at time t —
+        # equivalent to the reference's time-staggered schedule, since group g
+        # only ever reads groups 0..g-1 at the same local time.
+        assert beam_size % group_size == 0, "beam_size must divide by group_size"
+        bdash = beam_size // group_size
+        div_lambda = float(opt.get("diversity_lambda", 0.5))
+        mem = _repeat_pytree(memory, bdash)
+        seqs_out, lps_out = [], []
+        prev_tokens = None
+        for _ in range(group_size):
+            cache = model.apply(variables, mem, max_len + 1, method="init_cache")
+            seq_g, lp_g = beam_search(
+                make_step(mem), cache, b, bdash, max_len, vocab,
+                diversity_penalty_tokens=prev_tokens, diversity_lambda=div_lambda,
+                **common,
+            )
+            seqs_out.append(seq_g)
+            lps_out.append(lp_g)
+            prev_tokens = seq_g if prev_tokens is None else jnp.concatenate([prev_tokens, seq_g], axis=1)
+        return jnp.concatenate(seqs_out, axis=1), jnp.concatenate(lps_out, axis=1)
 
     cache = model.apply(variables, memory, max_len + 1, method="init_cache")
     seq, seq_lp = sample_decode(

@@ -73,6 +73,8 @@ def beam_search(
     decoding_constraint: int = 0,
     suppress_unk: int = 0,
     bad_ending_ids: Optional[Sequence[int]] = None,
+    diversity_penalty_tokens: Optional[jnp.ndarray] = None,
+    diversity_lambda: float = 0.5,
 ) -> Tuple[jnp.ndarray, jnp.ndarray]:
     """Beam search over ``step_fn(it, cache, t) -> (logprobs (B*K, V), cache)``.
 
@@ -111,6 +113,15 @@ def beam_search(
             constrained = jnp.where(t > 0, constrained + eos_pen, constrained)
         if suppress_unk:
             constrained = constrained.at[:, unk_id].add(-1000.0)
+        if diversity_penalty_tokens is not None:
+            # diverse groups: subtract lambda x count of tokens earlier groups
+            # chose at this local time (reference add_diversity,
+            # caption_model.py:33-52)
+            prev_t = jax.lax.dynamic_index_in_dim(
+                diversity_penalty_tokens, t, axis=2, keepdims=False
+            )  # (B, prev_beams)
+            change = jnp.sum(jax.nn.one_hot(prev_t, vocab_size), axis=1)  # (B, V)
+            constrained = constrained - jnp.repeat(change, k, axis=0) * diversity_lambda
 
         cand = state.sum_lp[..., None] + constrained.reshape(batch_size, k, vocab_size)
         flat = cand.reshape(batch_size, k * vocab_size)

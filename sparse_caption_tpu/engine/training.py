@@ -108,6 +108,16 @@ class TrainingModule:
         self.batcher = CaptionBatcher(config, self.tokenizer, self.feature_source)
         self.checkpoint_path = os.path.join(config.log_dir, "model_{}.msgpack")
         self.optimizer_path = os.path.join(config.log_dir, "optimizer_{}.msgpack")
+        # scale-out: data(+tensor)-parallel mesh when --mesh_shape is set
+        self.mesh = None
+        if config.get("mesh_shape"):
+            from sparse_caption_tpu.parallel import make_mesh
+
+            self.mesh = make_mesh(config.mesh_shape)
+            dp = self.mesh.shape["data"]
+            assert config.batch_size % dp == 0, (
+                f"batch_size {config.batch_size} must divide by data-parallel size {dp}")
+            logger.info("mesh: %s", dict(self.mesh.shape))
         self.state: Optional[TrainState] = None
         self.global_step = 0
         self.best_val_score = 0.0
@@ -164,6 +174,10 @@ class TrainingModule:
             out["fc_feats"] = jnp.asarray(batch["fc_feats"])
         if with_seqs:
             out["seqs"] = jnp.asarray(batch["seqs"])
+        if self.mesh is not None:
+            from sparse_caption_tpu.parallel import shard_batch
+
+            out = shard_batch(out, self.mesh)
         return out
 
     def init_state(self, rng: Optional[jax.Array] = None) -> TrainState:
@@ -184,6 +198,10 @@ class TrainingModule:
             step=jnp.zeros((), jnp.int32),
         )
         self._schedule = schedule
+        if self.mesh is not None:
+            from sparse_caption_tpu.parallel import shard_state
+
+            self.state = shard_state(self.state, self.mesh)
         # parameter census (reference train_transformer.py:36-50)
         n_params = sum(x.size for x in jax.tree.leaves(params))
         n_masks = sum(x.size for x in jax.tree.leaves(masks))
