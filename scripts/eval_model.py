@@ -26,6 +26,9 @@ def parse_args():
     p.add_argument("--eval_dir_suffix", type=str, default=None)
     p.add_argument("--logging_level", type=str, default="INFO")
     p.add_argument("--platform", type=str, default=None, choices=["cpu", "tpu"])
+    p.add_argument("--cast", type=str, default=None, choices=["bf16", "fp16"],
+                   help="cast float params before eval and re-save the cast checkpoint "
+                        "(reference eval_model.py:73-76 fp16 re-export)")
     return p.parse_args()
 
 
@@ -72,6 +75,16 @@ def main():
             params=jax.tree.map(jax.numpy.asarray, ckpt["params"]),
             masks=ckpt.get("masks", {}) or {},
         )
+    if args.cast:
+        import jax.numpy as jnp
+
+        from sparse_caption_tpu.engine.checkpoints import save_pytree
+
+        dt = jnp.bfloat16 if args.cast == "bf16" else jnp.float16
+        cast = lambda x: x.astype(dt) if hasattr(x, "dtype") and jnp.issubdtype(x.dtype, jnp.floating) else x  # noqa: E731
+        module.state = module.state.replace(params=jax.tree.map(cast, module.state.params))
+        save_pytree(ckpt_path.replace(".msgpack", f"_{args.cast}.msgpack"),
+                    {"params": module.state.params, "masks": module.state.masks})
     loader = module.get_loader(args.split, train=False)
     module.global_step = int(config.get("best_global_step", 0))
     _, scores, out_dir = module.eval_on_split(loader, split=args.split)

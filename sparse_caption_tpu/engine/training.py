@@ -381,12 +381,28 @@ class TrainingModule:
         return scst_step
 
     # ----------------------------------------------------------------- eval
+    def _decode_opt(self, beam_size: int) -> Dict:
+        """Assemble decode options from config (the reference passes the whole
+        config as the opt dict, training.py:272)."""
+        config = self.config
+        opt = {
+            "beam_size": beam_size,
+            "group_size": int(config.get("group_size", 1)),
+            "diversity_lambda": float(config.get("diversity_lambda", 0.5)),
+            "length_penalty": str(config.get("length_penalty", "") or ""),
+            "decoding_constraint": int(config.get("decoding_constraint", 0)),
+            "suppress_UNK": int(config.get("suppress_UNK", 0)),
+        }
+        if config.get("remove_bad_endings"):
+            from sparse_caption_tpu.decoding.constraints import bad_ending_ids
+
+            opt["bad_ending_ids"] = bad_ending_ids(self.tokenizer)
+        return opt
+
     def eval_on_split(self, loader: BatchLoader, split: str):
         config = self.config
         beam_size = int(config.get(f"beam_size_{split}", config.get("beam_size", 1)))
-        opt = {"beam_size": beam_size}
-        if beam_size <= 1:
-            opt = {"beam_size": 1}
+        opt = self._decode_opt(max(beam_size, 1))
         decode = self._cached_decode(f"eval_beam{beam_size}", opt)
         variables = self._variables(self.state)
 
@@ -476,6 +492,8 @@ class TrainingModule:
 
         xe_step = self.make_xe_step()
         scst_step = None
+        profile_dir = config.get("profile_dir")
+        profile_steps = int(config.get("profile_steps", 10))
         rng = jax.random.PRNGKey(int(config.get("seed", 8888)) + 1)
         save_every = int(config.get("save_checkpoint_every", 6000))
         log_every = int(config.get("losses_log_every", 25))
@@ -494,6 +512,11 @@ class TrainingModule:
                     inputs = self._model_inputs(batch)
                     self.state, loss, aux = xe_step(self.state, inputs, jnp.asarray(batch["masks"]), k)
                 self.global_step += 1
+                if profile_dir and self.global_step == 2:  # skip compile step
+                    jax.profiler.start_trace(profile_dir)
+                if profile_dir and self.global_step == 2 + profile_steps:
+                    jax.profiler.stop_trace()
+                    logger.info("profiler trace written to %s", profile_dir)
                 self.pre_log_hook(epoch)
 
                 if self.global_step % 5 == 0:

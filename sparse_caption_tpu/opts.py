@@ -57,11 +57,24 @@ def add_training_args(parser) -> None:
     parser.add_argument("--beam_size_test", type=int, default=2)
     parser.add_argument("--beam_size_val", type=int, default=1)
     parser.add_argument("--eval_dir_suffix", type=str, default=None)
+    # decoding constraints (reference beam opts, caption_model.py:114-123)
+    parser.add_argument("--length_penalty", type=str, default="",
+                        help="'' | 'wu_<alpha>' | 'avg_<alpha>'")
+    parser.add_argument("--decoding_constraint", type=int, default=0,
+                        help="1: forbid repeating the previous token")
+    parser.add_argument("--suppress_UNK", type=int, default=0)
+    parser.add_argument("--remove_bad_endings", type=int, default=0,
+                        help="1: forbid EOS after dangling function words")
+    parser.add_argument("--group_size", type=int, default=1, help="diverse beam groups")
+    parser.add_argument("--diversity_lambda", type=float, default=0.5)
     parser.add_argument("--max_att_regions", type=int, default=36)
     parser.add_argument("--mesh_shape", type=str, default=None,
                         help="device mesh, e.g. '4,2' for (data=4, model=2); None = single device")
     parser.add_argument("--platform", type=str, default=None, choices=[None, "cpu", "tpu"],
                         help="pin the JAX platform (overrides environment plugins)")
+    parser.add_argument("--profile_dir", type=str, default=None,
+                        help="write a jax.profiler trace of steps 2..2+profile_steps here")
+    parser.add_argument("--profile_steps", type=int, default=10)
 
 
 def add_pruning_args(parser) -> None:

@@ -122,6 +122,15 @@ def test_train_scst_random_sample_mean(fixture_dataset, tmp_path):
     assert os.path.isfile(os.path.join(module.config.log_dir, "model_last.msgpack"))
 
 
+def test_train_scst_beam_greedy_baseline(fixture_dataset, tmp_path):
+    """SCST with beam-search sampling + greedy baseline (the other 2 axes)."""
+    argv = tiny_args(fixture_dataset, tmp_path, "transformer",
+                     TINY_TRANSFORMER + ["--scst_start_epoch", "0", "--scst_num_samples", "3",
+                                         "--scst_sample", "beam_search", "--scst_baseline", "greedy"])
+    module = run_train(argv)
+    assert os.path.isfile(os.path.join(module.config.log_dir, "model_last.msgpack"))
+
+
 def test_eval_model_script(fixture_dataset, tmp_path):
     module = run_train(tiny_args(fixture_dataset, tmp_path, "transformer", TINY_TRANSFORMER))
     import subprocess
