@@ -60,20 +60,19 @@ class CaptionBatcher:
             batch[key] = np.stack([f[key] for f in feats], 0)
 
         if sample_captions:
-            seqs, masks = [], []
+            chosen_all = []
             for r in records:
                 caps = r["all_captions"]
                 if len(caps) >= self.seq_per_img:
-                    chosen = rng.sample(caps, self.seq_per_img)
+                    chosen_all += rng.sample(caps, self.seq_per_img)
                 else:  # static-shape delta: sample with replacement
-                    chosen = list(caps) + [rng.choice(caps) for _ in range(self.seq_per_img - len(caps))]
-                for cap in chosen:
-                    ids = self._encode_caption(cap)
-                    seqs.append(ids)
-                    mask = (ids != self.tokenizer.pad_token_id).astype(np.float32)
-                    masks.append(mask)
-            batch["seqs"] = np.stack(seqs, 0)
-            batch["masks"] = np.stack(masks, 0)
+                    chosen_all += list(caps) + [rng.choice(caps) for _ in range(self.seq_per_img - len(caps))]
+            if hasattr(self.tokenizer, "encode_batch"):
+                seqs = self.tokenizer.encode_batch(chosen_all, self.max_seq_length)
+            else:
+                seqs = np.stack([self._encode_caption(c) for c in chosen_all], 0)
+            batch["seqs"] = seqs
+            batch["masks"] = (seqs != self.tokenizer.pad_token_id).astype(np.float32)
 
         batch["gts"] = [r["all_gts"] for r in records]
         batch["image_paths"] = [r["img_path"] for r in records]

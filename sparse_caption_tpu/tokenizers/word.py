@@ -93,6 +93,24 @@ class WordTokenizer(Tokenizer):
     def encode_tokenized(self, input_list: List[str], add_bos_eos: bool = True, max_seq_length: int = 16) -> List[int]:
         return self._encode_word_ids(input_list, add_bos_eos, max_seq_length)
 
+    def encode_batch(self, captions, max_seq_length: int):
+        """Batch encode -> (N, max_seq_length) int32, zero-padded. Uses the
+        native C++ encoder when available (exact same output)."""
+        import numpy as np
+
+        if type(self) is WordTokenizer:  # radix/char subclasses use the python path
+            from sparse_caption_tpu.tokenizers import native as native_tok
+
+            if native_tok.is_available():
+                if not hasattr(self, "_native_encoder"):
+                    self._native_encoder = native_tok.NativeWordEncoder(self.vocab)
+                return self._native_encoder.encode_batch(captions, max_seq_length)
+        out = np.zeros((len(captions), max_seq_length), np.int32)
+        for i, c in enumerate(captions):
+            ids = self.encode(c, add_bos_eos=True, max_seq_length=max_seq_length)[:max_seq_length]
+            out[i, : len(ids)] = ids
+        return out
+
     def decode(self, input_ids) -> str:
         ids = self._ids_to_list(input_ids)
         words = []

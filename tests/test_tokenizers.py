@@ -88,3 +88,20 @@ def test_start_from_copies_vocab(tiny_corpus, tmp_path):
     cfg2 = Config(log_dir=str(tmp_path / "run2"), tokenizer_train_files=None, start_from=str(tmp_path / "run1"))
     tok2 = get_tokenizer("word")(cfg2)
     assert tok2.vocab == tok1.vocab
+
+
+def test_encode_batch_matches_encode(tiny_corpus, tmp_path):
+    """encode_batch (native C++ when available) == per-caption encode."""
+    import numpy as np
+
+    from sparse_caption_tpu.tokenizers import native as native_tok
+
+    cfg = Config(log_dir=str(tmp_path), tokenizer_train_files=tiny_corpus, vocab_size=64)
+    tok = get_tokenizer("word")(cfg)
+    caps = ["a man riding a horse", "a zebra with unknown words", "", "a dog on a couch extra words beyond limit ok"]
+    batch = tok.encode_batch(caps, 8)
+    for i, c in enumerate(caps):
+        ids = tok.encode(c, add_bos_eos=True, max_seq_length=8)
+        ref = np.zeros(8, np.int32)
+        ref[: len(ids)] = ids
+        np.testing.assert_array_equal(batch[i], ref, err_msg=f"caption {i} (native={native_tok.is_available()})")
