@@ -17,7 +17,7 @@ non-trainable mask types the mask transform is ``set_to_zero``.
 from __future__ import annotations
 
 import math
-from typing import Callable, Optional
+from typing import Callable
 
 import optax
 

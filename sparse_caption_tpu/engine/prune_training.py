@@ -18,8 +18,6 @@ from __future__ import annotations
 
 import logging
 import os
-from typing import Dict
-
 import jax
 import jax.numpy as jnp
 import numpy as np

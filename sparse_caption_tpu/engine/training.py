@@ -182,13 +182,18 @@ class TrainingModule:
 
     def init_state(self, rng: Optional[jax.Array] = None) -> TrainState:
         rng = rng if rng is not None else jax.random.PRNGKey(int(self.config.get("seed", 8888)))
-        batch = next(iter(self.get_loader("train", train=True)))
-        inputs = self._model_inputs(batch)
+        # shape probe: any split works (eval-only runs may lack train features)
+        try:
+            probe = next(iter(self.get_loader("train", train=True)))
+        except (FileNotFoundError, StopIteration):
+            probe = next(iter(self.get_loader("val", train=True)))
+        inputs = self._model_inputs(probe)
         variables = self.model.init({"params": rng, "mask": rng, "dropout": rng, "ss": rng}, **inputs)
         params = variables["params"]
         masks = variables.get("masks", {})
 
-        schedule = make_schedule(self.config, steps_per_epoch=max(len(self.train_loader), 1))
+        steps_per_epoch = len(self.train_loader) if hasattr(self, "train_loader") else 1
+        schedule = make_schedule(self.config, steps_per_epoch=max(steps_per_epoch, 1))
         self.opt_w = build_weight_optimizer(self.config, schedule)
         trainable_masks = self.mask_cfg is not None and self.mask_cfg.mask_type in TRAINABLE_MASKS
         self.opt_m = build_mask_optimizer(self.config, trainable_masks)

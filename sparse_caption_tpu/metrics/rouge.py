@@ -3,7 +3,7 @@ precision/recall, F with beta=1.2)."""
 
 from __future__ import annotations
 
-from typing import Dict, List, Sequence
+from typing import Dict, Sequence
 
 import numpy as np
 

@@ -19,7 +19,7 @@ attention so padded regions never influence valid outputs.
 
 from __future__ import annotations
 
-from typing import Any, Dict, Optional, Sequence
+from typing import Any, Dict, Optional
 
 import jax.numpy as jnp
 from flax import linen as nn

@@ -23,7 +23,6 @@ in every kernel, so forward/backward see the same draw.
 from __future__ import annotations
 
 import functools
-from typing import Tuple
 
 import jax
 import jax.numpy as jnp

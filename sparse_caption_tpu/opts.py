@@ -10,7 +10,7 @@ from __future__ import annotations
 import os
 from argparse import ArgumentDefaultsHelpFormatter, ArgumentParser, Namespace
 
-from sparse_caption_tpu.config import Config, list_of_floats, list_of_ints
+from sparse_caption_tpu.config import Config, list_of_floats
 from sparse_caption_tpu.data import DATASET_REGISTRY, get_dataset
 from sparse_caption_tpu.engine.optim import ALL_OPTIMIZERS, ALL_SCHEDULERS
 from sparse_caption_tpu.models import MODEL_REGISTRY, get_model

@@ -12,12 +12,10 @@ from __future__ import annotations
 import json
 import logging
 import os
-import shutil
 from collections import Counter
 from typing import List
 
 from sparse_caption_tpu.tokenizers import register_tokenizer
-from sparse_caption_tpu.tokenizers.base import maybe_copy_from
 from sparse_caption_tpu.tokenizers.word import SPECIALS, WordTokenizer
 
 logger = logging.getLogger(__name__)
