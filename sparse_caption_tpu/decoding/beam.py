@@ -52,8 +52,19 @@ class BeamState(NamedTuple):
 
 
 def _gather_beams(x, beam_ix, batch_size: int, k: int):
-    """Gather along a flat (B*K, ...) batch axis by per-image beam index (B, K)."""
+    """Gather along a flat (B*K, ...) batch axis by per-image beam index (B, K).
+
+    A top-level ``"static"`` subtree is exempt: entries there are identical
+    across an image's beams (e.g. projected cross-attention K/V), so the
+    within-image permutation is a value identity — skipping it avoids
+    re-writing hundreds of MB of cache per step at paper scale.
+    """
     flat_ix = (beam_ix + jnp.arange(batch_size)[:, None] * k).reshape(-1)
+    if isinstance(x, dict) and "static" in x:
+        rest = {kk: v for kk, v in x.items() if kk != "static"}
+        out = jax.tree.map(lambda a: jnp.take(a, flat_ix, axis=0), rest)
+        out["static"] = x["static"]
+        return out
     return jax.tree.map(lambda a: jnp.take(a, flat_ix, axis=0), x)
 
 

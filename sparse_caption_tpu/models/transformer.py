@@ -98,8 +98,8 @@ class DecoderLayer(nn.Module):
     def project_memory_kv(self, memory):
         return self.src_attn.project_memory_kv(memory)
 
-    def step(self, x_t, layer_cache: Dict, t, mem_mask, train: bool = False):
-        """One decode step. layer_cache: {self_k, self_v, cross_k, cross_v}."""
+    def step(self, x_t, layer_cache: Dict, cross: Dict, t, mem_mask, train: bool = False):
+        """One decode step. layer_cache: {self_k, self_v}; cross: {cross_k, cross_v}."""
         def self_fn(y):
             out, new_k, new_v = self.self_attn.decode_self(
                 y, layer_cache["self_k"], layer_cache["self_v"], t, train
@@ -110,7 +110,7 @@ class DecoderLayer(nn.Module):
         x_t = self.sub0(x_t, self_fn, train)
         x_t = self.sub1(
             x_t,
-            lambda y: self.src_attn.decode_cross(y, layer_cache["cross_k"], layer_cache["cross_v"], mem_mask, train),
+            lambda y: self.src_attn.decode_cross(y, cross["cross_k"], cross["cross_v"], mem_mask, train),
             train,
         )
         x_t = self.sub2(x_t, lambda y: self.feed_forward(y, train), train)
@@ -219,18 +219,18 @@ class Transformer(nn.Module):
         b = memory.shape[0]
         t_max = int(max_steps or (self.max_seq_length + 1))
         dk = self.d_model // self.num_heads
-        layers = []
+        layers, cross = [], []
         for i in self.dec_plan:
             ck, cv = self.decoder_layers[i].project_memory_kv(memory)
             layers.append(
                 {
                     "self_k": jnp.zeros((b, self.num_heads, t_max, dk), memory.dtype),
                     "self_v": jnp.zeros((b, self.num_heads, t_max, dk), memory.dtype),
-                    "cross_k": ck,
-                    "cross_v": cv,
                 }
             )
-        return {"layers": layers}
+            cross.append({"cross_k": ck, "cross_v": cv})
+        # "static": beam-invariant per image -> exempt from beam reorder
+        return {"layers": layers, "static": {"cross": cross}}
 
     def decode_step(self, it, cache: Dict[str, Any], t, memory_pytree: Dict[str, Any], train: bool = False):
         """it: (B,) current tokens; t: scalar index. Returns (logprobs (B, V), cache)."""
@@ -239,11 +239,13 @@ class Transformer(nn.Module):
         x = self.pos_enc(x, t=t, train=train)
         new_layers = []
         for j, i in enumerate(self.dec_plan):
-            x, lc = self.decoder_layers[i].step(x, dict(cache["layers"][j]), t, mem_mask, train)
+            x, lc = self.decoder_layers[i].step(
+                x, dict(cache["layers"][j]), cache["static"]["cross"][j], t, mem_mask, train
+            )
             new_layers.append(lc)
         x = self.decoder_norm(x)
         logprobs = self.generator(x[:, 0], train)
-        return logprobs, {"layers": new_layers}
+        return logprobs, {"layers": new_layers, "static": cache["static"]}
 
     @staticmethod
     def add_argparse_args(parser) -> None:
