@@ -461,6 +461,10 @@ class TrainingModule:
             restore_dir = start_from
             tag = "last" if config.get("resume_training", False) else "best"
             model_file = os.path.join(start_from, f"model_{tag}.msgpack")
+            if tag == "best" and not os.path.isfile(model_file):
+                # e.g. a gated prune run that never reached its sparsity target
+                logger.warning("no model_best in %s; falling back to model_last", start_from)
+                model_file = os.path.join(start_from, "model_last.msgpack")
         else:
             raise ValueError(f"start_from must be a file or dir: {start_from}")
         # cross-config checks (reference training.py:160-178)

@@ -143,3 +143,29 @@ def test_eval_model_script(fixture_dataset, tmp_path):
     )
     assert r.returncode == 0, r.stderr[-3000:]
     assert "CIDEr" in r.stdout
+
+
+def test_mask_freeze_scst_from_pruned_checkpoint(fixture_dataset, tmp_path):
+    """The paper's sparse-SCST recipe (reference commands_pruning.sh:175-196):
+    supermask-prune, then fine-tune with mask_freeze + SCST from that run."""
+    prune_argv = tiny_args(fixture_dataset, tmp_path / "prune", "relation_transformer_prune",
+                           TINY_TRANSFORMER + ["--prune_type", "supermask",
+                                               "--prune_sparsity_target", "0.5"])
+    prune_mod = run_train(prune_argv, prune=True)
+
+    scst_argv = tiny_args(fixture_dataset, tmp_path / "scst", "relation_transformer_prune",
+                          TINY_TRANSFORMER + [
+                              "--prune_type", "mask_freeze",
+                              "--start_from", prune_mod.config.log_dir,
+                              "--scst_start_epoch", "0", "--scst_num_samples", "3",
+                              "--scst_sample", "random", "--scst_baseline", "sample"])
+    scst_mod = run_train(scst_argv, prune=True)
+    # masks restored from the pruned run and frozen (no mask optimizer updates)
+    import jax
+    import numpy as np
+
+    from sparse_caption_tpu.engine.checkpoints import load_pytree
+
+    src = load_pytree(os.path.join(prune_mod.config.log_dir, "model_last.msgpack"))
+    for a, b in zip(jax.tree.leaves(src["masks"]), jax.tree.leaves(scst_mod.state.masks)):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
