@@ -93,7 +93,7 @@ def main() -> None:
         out = decode(variables, att, amask, boxes)
         checksum += int(np.asarray(out[:, 0, 0]).sum())  # forces device->host sync
     dt = time.perf_counter() - t0
-    assert checksum != 0 or True
+    del checksum
 
     captions_per_sec = BATCH * ITERS / dt
     n_chips = 1  # single-chip benchmark
