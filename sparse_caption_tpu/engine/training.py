@@ -385,6 +385,106 @@ class TrainingModule:
 
         return scst_step
 
+    def make_scst_fused_step(self):
+        """Single-jit SCST step (``--scst_fused``): the sampling decode runs
+        under grad inside the jitted step and the CIDEr-D/BLEU reward comes
+        back through ``io_callback`` — gradients attach to the *sampling*
+        logprobs themselves (exactly the reference's semantics,
+        utils/training.py:225-254) with no host round-trip between device
+        programs.  The decode runs in eval mode (deterministic policy ==
+        scored policy; the reference samples under train-mode dropout).
+        """
+        config = self.config
+        model = self.model
+        opt_w, opt_m = self.opt_w, self.opt_m
+        num_samples = int(config.get("scst_num_samples", 15))
+        sample_mode = config.get("scst_sample", "random")
+        baseline_mode = config.get("scst_baseline", "greedy")
+        assert sample_mode in self.SCST_SAMPLE and baseline_mode in self.SCST_BASELINE
+        max_len = int(config.get("max_seq_length", 18)) - 1
+        if sample_mode == "beam_search":
+            sample_opt = {"beam_size": num_samples, "max_seq_length": max_len}
+        else:
+            sample_opt = {"num_random_sample": num_samples, "beam_size": 0, "max_seq_length": max_len,
+                          "temperature": float(config.get("scst_temperature", 1.0))}
+        greedy_opt = {"beam_size": 1, "max_seq_length": max_len}
+
+        holder: Dict[str, Any] = {"gts": None}  # set per batch before the jit call
+        tokenizer = self.tokenizer
+        scorer = self.scst_scorer
+
+        def host_rewards_fn(sample_ids, greedy_ids):
+            sample_np = np.asarray(sample_ids)
+            sample_decoded = [[tokenizer.decode(sample_np[i, j]) for j in range(sample_np.shape[1])]
+                              for i in range(sample_np.shape[0])]
+            if baseline_mode == "greedy":
+                greedy_np = np.asarray(greedy_ids)
+                baseline_decoded = [[tokenizer.decode(greedy_np[i, 0])] for i in range(greedy_np.shape[0])]
+            else:
+                baseline_decoded = None
+            sc_s, sc_b = scorer(refs=holder["gts"], sample=sample_decoded, baseline=baseline_decoded)
+            return np.asarray(sc_s - sc_b, np.float32)
+
+        from jax.experimental import io_callback
+
+        @jax.custom_vjp
+        def rewards_op(sample_ids, greedy_ids):
+            n = sample_ids.shape[0] * sample_ids.shape[1]
+            return io_callback(host_rewards_fn, jax.ShapeDtypeStruct((n,), jnp.float32),
+                               sample_ids, greedy_ids)
+
+        def _rw_fwd(sample_ids, greedy_ids):
+            return rewards_op(sample_ids, greedy_ids), None
+
+        def _rw_bwd(_, g):
+            del g
+            return None, None  # int inputs: no tangents
+
+        rewards_op.defvjp(_rw_fwd, _rw_bwd)
+
+        @jax.jit
+        def fused(state: TrainState, inputs, rng):
+            enc_kwargs = {k: v for k, v in inputs.items() if k != "seqs"}
+
+            def loss_fn(params, masks):
+                variables = {"params": params}
+                if masks:
+                    variables["masks"] = masks
+                memory = model.apply(variables, **enc_kwargs, method="encode")
+                seq, seq_lp = generate(model, variables, memory, sample_opt, rng=rng)
+                ids = jax.lax.stop_gradient(seq)
+                if baseline_mode == "greedy":
+                    greedy_ids = jax.lax.stop_gradient(
+                        generate(model, variables, memory, greedy_opt)[0]
+                    )
+                else:
+                    greedy_ids = jnp.zeros((ids.shape[0], 1, ids.shape[2]), jnp.int32)
+                rewards = jax.lax.stop_gradient(rewards_op(ids, greedy_ids))
+                b, s, t = ids.shape
+                flat = ids.reshape(b * s, t)
+                mask = (flat != model.pad_id).astype(seq_lp.dtype)
+                loss = losses_mod.reward_loss(seq_lp.reshape(b * s, t), mask, rewards)
+                return loss, jnp.mean(rewards)
+
+            (loss, avg_reward), grads = jax.value_and_grad(loss_fn, argnums=(0, 1), has_aux=True)(
+                state.params, state.masks
+            )
+            gw, gm = grads
+            uw, new_opt_w = opt_w.update(gw, state.opt_w, state.params)
+            params = optax.apply_updates(state.params, uw)
+            um, new_opt_m = opt_m.update(gm, state.opt_m, state.masks)
+            masks = optax.apply_updates(state.masks, um) if state.masks else state.masks
+            return state.replace(params=params, masks=masks, opt_w=new_opt_w, opt_m=new_opt_m,
+                                 step=state.step + 1), loss, avg_reward
+
+        def scst_fused_step(state: TrainState, batch, rng):
+            holder["gts"] = batch["gts"]
+            inputs = self._model_inputs(batch, with_seqs=False)
+            state, loss, avg_reward = fused(state, inputs, rng)
+            return state, loss, {"avg_reward": float(avg_reward)}
+
+        return scst_fused_step
+
     # ----------------------------------------------------------------- eval
     def _decode_opt(self, beam_size: int) -> Dict:
         """Assemble decode options from config (the reference passes the whole
@@ -512,7 +612,8 @@ class TrainingModule:
         for epoch in range(config.max_epochs):
             sc_flag = 0 <= int(config.get("scst_start_epoch", -1)) <= epoch
             if sc_flag and scst_step is None:
-                scst_step = self.make_scst_step()
+                scst_step = (self.make_scst_fused_step() if config.get("scst_fused", False)
+                             else self.make_scst_step())
             for batch in self.train_loader:
                 rng, k = jax.random.split(rng)
                 if sc_flag:

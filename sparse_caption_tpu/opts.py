@@ -54,6 +54,8 @@ def add_training_args(parser) -> None:
     parser.add_argument("--scst_baseline", type=str, default="sample", choices=["greedy", "sample"])
     parser.add_argument("--scst_cider_weight", type=float, default=1.0)
     parser.add_argument("--scst_bleu_weight", type=list_of_floats, default=(0.0, 0.0, 0.0, 0.0))
+    parser.add_argument("--scst_fused", action="store_true",
+                        help="single-jit SCST step: sampling under grad + io_callback rewards")
     parser.add_argument("--beam_size_test", type=int, default=2)
     parser.add_argument("--beam_size_val", type=int, default=1)
     parser.add_argument("--eval_dir_suffix", type=str, default=None)

@@ -169,3 +169,14 @@ def test_mask_freeze_scst_from_pruned_checkpoint(fixture_dataset, tmp_path):
     src = load_pytree(os.path.join(prune_mod.config.log_dir, "model_last.msgpack"))
     for a, b in zip(jax.tree.leaves(src["masks"]), jax.tree.leaves(scst_mod.state.masks)):
         np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+
+@pytest.mark.parametrize("mode,baseline", [("random", "sample"), ("beam_search", "greedy")])
+def test_train_scst_fused(mode, baseline, fixture_dataset, tmp_path):
+    """Single-jit SCST (--scst_fused): sampling under grad + io_callback rewards."""
+    argv = tiny_args(fixture_dataset, tmp_path / f"{mode}_{baseline}", "transformer",
+                     TINY_TRANSFORMER + ["--scst_start_epoch", "0", "--scst_num_samples", "3",
+                                         "--scst_sample", mode, "--scst_baseline", baseline,
+                                         "--scst_fused"])
+    module = run_train(argv)
+    assert os.path.isfile(os.path.join(module.config.log_dir, "model_last.msgpack"))
