@@ -11,7 +11,7 @@ from sparse_caption_tpu.config import Config
 from sparse_caption_tpu.tokenizers import get_tokenizer
 from sparse_caption_tpu.tokenizers.radix import base_to_decimal, decimal_to_base
 
-ALL_TOKENIZERS = ["word", "radix", "character"]
+ALL_TOKENIZERS = ["word", "radix", "character", "bpe"]
 
 
 @pytest.mark.parametrize("name", ALL_TOKENIZERS)
@@ -105,3 +105,15 @@ def test_encode_batch_matches_encode(tiny_corpus, tmp_path):
         ref = np.zeros(8, np.int32)
         ref[: len(ids)] = ids
         np.testing.assert_array_equal(batch[i], ref, err_msg=f"caption {i} (native={native_tok.is_available()})")
+
+
+def test_bpe_merges_and_subwords(tiny_corpus, tmp_path):
+    cfg = Config(log_dir=str(tmp_path), tokenizer_train_files=tiny_corpus, vocab_size=80)
+    tok = get_tokenizer("bpe")(cfg)
+    assert len(tok.merges) > 0
+    # in-vocab word round trip
+    s = "a man riding a horse"
+    assert tok.decode(tok.encode(s, max_seq_length=64)) == s
+    # OOV word decomposes to subwords/unk rather than a single unk when chars are known
+    ids = tok.encode("horses", add_bos_eos=False, max_seq_length=64)
+    assert len(ids) >= 1
