@@ -183,14 +183,31 @@ class MultiHeadAttention(nn.Module):
         out = scaled_dot_attention(q, mem_k, mem_v, mask=mem_mask)
         return self.out_proj(_merge_heads(out), train)
 
+    def _fused_qkv_step(self, x_t):
+        """q/k/v for one decode step as a single matmul over concatenated
+        kernels (unshared, unmasked, eval path only).  The concatenation is
+        loop-invariant, so XLA hoists it out of the decode scan — param
+        layout (and the torch converter) stay untouched while the per-step
+        matmul count drops 3x."""
+        p = lambda mod, leaf: mod.variables["params"][leaf]  # noqa: E731
+        w = jnp.concatenate([p(self.q_proj, "kernel"), p(self.k_proj, "kernel"), p(self.v_proj, "kernel")], axis=1)
+        b = jnp.concatenate([p(self.q_proj, "bias"), p(self.k_proj, "bias"), p(self.v_proj, "bias")])
+        qkv = jnp.dot(x_t, w.astype(x_t.dtype)) + b.astype(x_t.dtype)
+        q, k, v = jnp.split(qkv, 3, axis=-1)
+        return (_split_heads(q, self.num_heads), _split_heads(k, self.num_heads),
+                _split_heads(v, self.num_heads))
+
     def decode_self(self, x_t, cache_k, cache_v, t, train: bool = False):
         """Single-step causal self-attention against a static-shape cache.
 
         x_t: (B, 1, D); cache_k/v: (B, h, T_max, dk); t: scalar step index.
         Returns (out, new_cache_k, new_cache_v).
         """
-        q = _split_heads(self.q_proj(x_t, train), self.num_heads)
-        k_t, v_t = self._project_kv(x_t, x_t, train)
+        if self.share_att is None and self.mask_cfg is None and not train:
+            q, k_t, v_t = self._fused_qkv_step(x_t)
+        else:
+            q = _split_heads(self.q_proj(x_t, train), self.num_heads)
+            k_t, v_t = self._project_kv(x_t, x_t, train)
         cache_k = jax.lax.dynamic_update_slice_in_dim(cache_k, k_t, t, axis=2)
         cache_v = jax.lax.dynamic_update_slice_in_dim(cache_v, v_t, t, axis=2)
         t_max = cache_k.shape[2]
