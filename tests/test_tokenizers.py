@@ -11,7 +11,7 @@ from sparse_caption_tpu.config import Config
 from sparse_caption_tpu.tokenizers import get_tokenizer
 from sparse_caption_tpu.tokenizers.radix import base_to_decimal, decimal_to_base
 
-ALL_TOKENIZERS = ["word", "radix", "character", "bpe"]
+ALL_TOKENIZERS = ["word", "radix", "character", "bpe", "unigram"]
 
 
 @pytest.mark.parametrize("name", ALL_TOKENIZERS)
@@ -117,3 +117,13 @@ def test_bpe_merges_and_subwords(tiny_corpus, tmp_path):
     # OOV word decomposes to subwords/unk rather than a single unk when chars are known
     ids = tok.encode("horses", add_bos_eos=False, max_seq_length=64)
     assert len(ids) >= 1
+
+
+def test_unigram_segmentation(tiny_corpus, tmp_path):
+    cfg = Config(log_dir=str(tmp_path), tokenizer_train_files=tiny_corpus, vocab_size=80)
+    tok = get_tokenizer("unigram")(cfg)
+    s = "a man riding a horse"
+    assert tok.decode(tok.encode(s, max_seq_length=64)) == s
+    # OOV word still segmentable via single-char pieces
+    ids = tok.encode("riderless", add_bos_eos=False, max_seq_length=64)
+    assert tok.decode([tok.bos_token_id] + ids + [tok.eos_token_id]) == "riderless"
