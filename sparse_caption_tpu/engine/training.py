@@ -182,11 +182,19 @@ class TrainingModule:
 
     def init_state(self, rng: Optional[jax.Array] = None) -> TrainState:
         rng = rng if rng is not None else jax.random.PRNGKey(int(self.config.get("seed", 8888)))
-        # shape probe: any split works (eval-only runs may lack train features)
+        # shape probe: any split works (eval-only runs may lack train
+        # features); probe batch size is capped by the split size so tiny
+        # fixtures with batch_size > |split| still initialize
+        def probe_batch(split):
+            records = self.data.get_split(split, generation_mode=True)
+            bs = min(int(self.config.batch_size), max(len(records), 1))
+            return next(iter(BatchLoader(records, self.batcher, bs, train=True,
+                                         seed=int(self.config.get("seed", 8888)), prefetch=0)))
+
         try:
-            probe = next(iter(self.get_loader("train", train=True)))
+            probe = probe_batch("train")
         except (FileNotFoundError, StopIteration):
-            probe = next(iter(self.get_loader("val", train=True)))
+            probe = probe_batch("val")
         inputs = self._model_inputs(probe)
         variables = self.model.init({"params": rng, "mask": rng, "dropout": rng, "ss": rng}, **inputs)
         params = variables["params"]

@@ -55,7 +55,9 @@ def add_training_args(parser) -> None:
     parser.add_argument("--scst_cider_weight", type=float, default=1.0)
     parser.add_argument("--scst_bleu_weight", type=list_of_floats, default=(0.0, 0.0, 0.0, 0.0))
     parser.add_argument("--scst_fused", action="store_true",
-                        help="single-jit SCST step: sampling under grad + io_callback rewards")
+                        help="single-jit SCST step: sampling under grad + io_callback rewards "
+                             "(requires a PJRT backend with host callbacks; tunneled/relay TPU "
+                             "backends may not support it — the default two-phase step always works)")
     parser.add_argument("--beam_size_test", type=int, default=2)
     parser.add_argument("--beam_size_val", type=int, default=1)
     parser.add_argument("--eval_dir_suffix", type=str, default=None)
