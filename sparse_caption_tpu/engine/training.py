@@ -375,11 +375,14 @@ class TrainingModule:
             k_sample, k_grad = jax.random.split(rng)
             res = sample_fn(self._variables(state), inputs, k_sample)
             sample_seq = res["sample"]  # (B, S, T)
-            sample_np = np.asarray(sample_seq)
+            # one batched device->host transfer (round trips are expensive on
+            # tunneled TPU backends)
+            res_np = jax.device_get(res)
+            sample_np = res_np["sample"]
             sample_decoded = [[self.tokenizer.decode(sample_np[i, j]) for j in range(sample_np.shape[1])]
                               for i in range(sample_np.shape[0])]
             if baseline_mode == "greedy":
-                greedy_np = np.asarray(res["greedy"])
+                greedy_np = res_np["greedy"]
                 baseline_decoded = [[self.tokenizer.decode(greedy_np[i, 0])] for i in range(greedy_np.shape[0])]
             else:
                 baseline_decoded = None
