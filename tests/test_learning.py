@@ -1,0 +1,47 @@
+"""Learning sanity: overfitting the 2-image fixture must drive the XE loss
+down and make greedy decode reproduce exact ground-truth captions — wires
+together model, optimizer, schedule, decode, and tokenizer round-trip."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from sparse_caption_tpu.config import Config
+from sparse_caption_tpu.engine.training import TrainingModule
+from sparse_caption_tpu.opts import parse_opt
+
+
+def test_overfit_fixture(fixture_dataset, tmp_path):
+    args = parse_opt([
+        "--caption_model", "relation_transformer", "--dataset", "mscoco_testing",
+        "--dataset_dir", fixture_dataset, "--log_dir", str(tmp_path),
+        "--vocab_size", "64", "--batch_size", "2", "--batch_size_eval", "2",
+        "--max_epochs", "250", "--max_seq_length", "12", "--save_checkpoint_every", "100000",
+        "--max_att_regions", "8", "--att_feat_size", "16", "--seq_per_img", "5",
+        "--d_model", "32", "--dim_feedforward", "64", "--num_layers", "2", "--num_heads", "4",
+        "--lr_scheduler", "noam", "--noamopt_warmup", "100", "--cache_min_free_ram", "1.0",
+        "--drop_prob_src", "0.1",
+    ])
+    m = TrainingModule(Config(**vars(args)))
+    m.prepare()
+    m.init_state()
+    xe = m.make_xe_step()
+    rng = jax.random.PRNGKey(0)
+    first = last = None
+    for _ in range(250):
+        for batch in m.train_loader:
+            rng, k = jax.random.split(rng)
+            m.state, loss, _ = xe(m.state, m._model_inputs(batch), jnp.asarray(batch["masks"]), k)
+        if first is None:
+            first = float(loss)
+        last = float(loss)
+    assert last < first * 0.3, (first, last)
+
+    decode = m._cached_decode("eval_beam1", {"beam_size": 1})
+    batch = next(iter(m.get_loader("train", train=False)))
+    seq, _ = decode(m._variables(m.state), m._model_inputs(batch, with_seqs=False), jax.random.PRNGKey(0))
+    memorized = 0
+    for i in range(batch["batch_valid"]):
+        pred = m.tokenizer.decode(np.asarray(seq[i, 0]))
+        memorized += pred in batch["gts"][i]
+    assert memorized >= 1, "overfit model failed to reproduce any training caption"
