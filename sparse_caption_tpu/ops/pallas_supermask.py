@@ -10,6 +10,11 @@ tile loop with the TPU PRNG (`pltpu.prng_seed` / `prng_random_bits`), so
 the sampled mask never exists in HBM, and regenerates the identical draw in
 the backward kernels by reseeding per (k, n) tile.
 
+A/B at paper scale (ORT-512 supermask XE step, v5e): 80.9 ms/step via this
+kernel vs 74.1 ms/step via the XLA path — XLA's own mask fusion wins at
+these weight sizes, so the kernel is opt-in (SPARSE_CAPTION_PALLAS_SUPERMASK=1)
+and expected to pay off only for much larger masked weights.
+
 Gradients (matching ops/ste.py semantics):
   dx = g @ (w * b)^T
   dw = (x^T @ g) * b
