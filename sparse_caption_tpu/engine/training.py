@@ -541,6 +541,15 @@ class TrainingModule:
         self.data.coco_caption_json_dump(zip(image_paths, predictions), json_fpath)
 
         if is_test2014:
+            # COCO server submissions need a val2014 results file too; fill it
+            # with placeholder captions (reference training.py:289-298)
+            val_dir = os.path.join(config.dataset_dir, "val2014")
+            if os.path.isdir(val_dir):
+                val_imgs = [f for f in os.listdir(val_dir) if f.endswith(".jpg")]
+                self.data.coco_caption_json_dump(
+                    zip(val_imgs, ["an example caption"] * len(val_imgs)),
+                    json_fpath.replace(".json", "_val2014.json"),
+                )
             return predictions, None, out_dir
         scores, scores_detailed, _ = evaluate_caption_json(
             res_file=json_fpath, ann_file=self.data.annotation_file_path()
