@@ -176,3 +176,37 @@ def test_updown_forward_parity(ref_modules):
     ref_np = ref_out.numpy()[:, : out.shape[1]]
     d = _max_diff(ref_np, out)
     assert d < 1e-4, f"up_down logprob mismatch {d}"
+
+
+def test_acort_shared_forward_parity(ref_modules):
+    """ORT with ACORT flags (kv attention sharing + layer sharing): converted
+    weights reproduce the reference forward (<1e-4) through the deduplicated
+    parameter layout."""
+    import torch
+
+    RefConfig, _, RefORT, _ = ref_modules
+    cfg = _ref_config(RefConfig, share_att_encoder="kv", share_att_decoder="kv",
+                      share_layer_encoder=(0, 0), share_layer_decoder=(0, 0))
+    torch.manual_seed(3)
+    ref = RefORT(cfg)
+    ref.eval()
+    att, amask, boxes, seqs = _inputs()
+    with torch.no_grad():
+        ref_out = ref(att_feats=torch.tensor(att), boxes=torch.tensor(boxes),
+                      seqs=torch.tensor(seqs), att_masks=torch.tensor(amask), mode="forward")
+
+    import jax.numpy as jnp
+
+    from sparse_caption_tpu.models.relation_transformer import RelationTransformer
+    from sparse_caption_tpu.utils.convert_torch import convert_state_dict
+
+    params, _ = convert_state_dict(ref.state_dict(), "relation_transformer",
+                                   share_att_encoder="kv", share_att_decoder="kv")
+    mine = RelationTransformer(vocab_size=20, d_model=16, dim_feedforward=32, num_layers=2,
+                               num_heads=4, att_feat_size=8, max_seq_length=7, drop_prob_src=0.0,
+                               share_att_encoder="kv", share_att_decoder="kv",
+                               share_layer_encoder=(0, 0), share_layer_decoder=(0, 0))
+    out = mine.apply({"params": params}, jnp.asarray(att), jnp.asarray(amask),
+                     jnp.asarray(seqs, jnp.int32), boxes=jnp.asarray(boxes))
+    d = _max_diff(ref_out.numpy(), out)
+    assert d < 1e-4, f"ACORT-shared logprob mismatch {d}"
