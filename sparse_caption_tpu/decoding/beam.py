@@ -48,7 +48,6 @@ class BeamState(NamedTuple):
     done_score: jnp.ndarray  # (B, K) penalized finished scores
     done_seq: jnp.ndarray  # (B, K, T)
     done_seq_lp: jnp.ndarray  # (B, K, T)
-    done_raw: jnp.ndarray  # (B, K) unpenalized finished scores
 
 
 def _gather_beams(x, beam_ix, batch_size: int, k: int):
@@ -107,7 +106,6 @@ def beam_search(
         done_score=jnp.full((batch_size, k), NEG_BIG),
         done_seq=jnp.full((batch_size, k, max_len), pad_id, dtype=jnp.int32),
         done_seq_lp=jnp.zeros((batch_size, k, max_len)),
-        done_raw=jnp.full((batch_size, k), NEG_BIG),
     )
 
     def body(state: BeamState, t):
@@ -157,13 +155,11 @@ def beam_search(
         is_end = (tok_ix == eos_id) | jnp.equal(t, max_len - 1)
         fin_score = jnp.where(is_end, penalty(t + 1.0, sum_lp), NEG_BIG)  # (B, K)
         merged_score = jnp.concatenate([state.done_score, fin_score], axis=1)  # (B, 2K)
-        merged_raw = jnp.concatenate([state.done_raw, jnp.where(is_end, sum_lp, NEG_BIG)], axis=1)
         merged_seq = jnp.concatenate([state.done_seq, seq], axis=1)
         merged_seq_lp = jnp.concatenate([state.done_seq_lp, seq_lp], axis=1)
         best_scores, best_ix = jax.lax.top_k(merged_score, k)
         done_seq = jnp.take_along_axis(merged_seq, best_ix[..., None], axis=1)
         done_seq_lp = jnp.take_along_axis(merged_seq_lp, best_ix[..., None], axis=1)
-        done_raw = jnp.take_along_axis(merged_raw, best_ix, axis=1)
 
         # knock finished live beams down (reference -1000, caption_model.py:210)
         sum_lp = jnp.where(is_end, sum_lp - 1000.0, sum_lp)
@@ -177,7 +173,6 @@ def beam_search(
             done_score=best_scores,
             done_seq=done_seq,
             done_seq_lp=done_seq_lp,
-            done_raw=done_raw,
         )
         return new_state, None
 
