@@ -59,12 +59,25 @@ def _gather_beams(x, beam_ix, batch_size: int, k: int):
     re-writing hundreds of MB of cache per step at paper scale.
     """
     flat_ix = (beam_ix + jnp.arange(batch_size)[:, None] * k).reshape(-1)
+    # within-image K-way selection as a one-hot matmul: XLA lowers jnp.take
+    # here to a windowed select_n loop ~20x off the bandwidth roofline (the
+    # single hottest op of the whole decode); a (B, K, K) 0/1 matmul is one
+    # bandwidth-bound op and EXACT (coefficients are exactly 0/1)
+    onehot = jax.nn.one_hot(beam_ix, k)  # (B, K, K)
+
+    def sel(a):
+        if a.ndim >= 1 and a.shape[0] == batch_size * k:
+            rows = a.reshape(batch_size, k, -1)
+            out = jnp.einsum("bij,bjr->bir", onehot.astype(a.dtype), rows)
+            return out.reshape(a.shape)
+        return jnp.take(a, flat_ix, axis=0)
+
     if isinstance(x, dict) and "static" in x:
         rest = {kk: v for kk, v in x.items() if kk != "static"}
-        out = jax.tree.map(lambda a: jnp.take(a, flat_ix, axis=0), rest)
+        out = jax.tree.map(sel, rest)
         out["static"] = x["static"]
         return out
-    return jax.tree.map(lambda a: jnp.take(a, flat_ix, axis=0), x)
+    return jax.tree.map(sel, x)
 
 
 def beam_search(
@@ -147,6 +160,7 @@ def beam_search(
         raw_lp = logprobs.reshape(batch_size, k, vocab_size)
         parent_lp = jnp.take_along_axis(raw_lp, beam_ix[..., None], axis=1)  # (B, K, V)
         chosen_lp = jnp.take_along_axis(parent_lp, tok_ix[..., None], axis=2)[..., 0]  # (B, K)
+        chosen_lp = chosen_lp.astype(state.seq_lp.dtype)  # scores accumulate in f32 even for bf16 models
         seq = jax.lax.dynamic_update_index_in_dim(seq.transpose(2, 0, 1), tok_ix, t, axis=0).transpose(1, 2, 0)
         seq_lp = jax.lax.dynamic_update_index_in_dim(seq_lp.transpose(2, 0, 1), chosen_lp, t, axis=0).transpose(1, 2, 0)
         sum_lp = top_scores

@@ -38,11 +38,15 @@ class RefLayerNorm(nn.Module):
         d = x.shape[-1]
         a = self.param("scale", nn.initializers.ones_init(), (d,))
         b = self.param("bias", nn.initializers.zeros_init(), (d,))
-        mean = jnp.mean(x, axis=-1, keepdims=True)
+        # stats in f32 for stability, result back in the input dtype so bf16
+        # runs stay bf16 end to end (exact no-op for f32 runs)
+        xf = x.astype(jnp.float32)
+        mean = jnp.mean(xf, axis=-1, keepdims=True)
         # torch .std() is Bessel-corrected (ddof=1)
-        var = jnp.sum(jnp.square(x - mean), axis=-1, keepdims=True) / max(d - 1, 1)
+        var = jnp.sum(jnp.square(xf - mean), axis=-1, keepdims=True) / max(d - 1, 1)
         std = jnp.sqrt(var)
-        return a * (x - mean) / (std + self.eps) + b
+        out = a.astype(jnp.float32) * (xf - mean) / (std + self.eps) + b.astype(jnp.float32)
+        return out.astype(x.dtype)
 
 
 def sinusoid_table(max_len: int, d_model: int) -> jnp.ndarray:
@@ -61,7 +65,9 @@ class PositionalEncoding(nn.Module):
 
     @nn.compact
     def __call__(self, x, t: Optional[jnp.ndarray] = None, train: bool = False):
-        pe = sinusoid_table(self.max_len, self.d_model)
+        # match the activation dtype: an f32 table silently promotes the whole
+        # decode to f32 (doubles cache/select traffic on bf16 runs)
+        pe = sinusoid_table(self.max_len, self.d_model).astype(x.dtype)
         if t is None:
             x = x + pe[None, : x.shape[1]]
         else:  # incremental decoding: x is (B, 1, D), t the time index
@@ -112,7 +118,8 @@ def scaled_dot_attention(q, k, v, mask=None, bias=None, dropout: Optional[nn.Dro
     dk = q.shape[-1]
     scores = jnp.einsum("bhqd,bhkd->bhqk", q, k) / math.sqrt(dk)
     if mask is not None:
-        scores = jnp.where(mask == 0, NEG_INF, scores)
+        # dtype-preserving fill: a python-float NEG_INF would promote bf16->f32
+        scores = jnp.where(mask == 0, jnp.asarray(NEG_INF, scores.dtype), scores)
     if bias is not None:
         scores = scores + bias
     probs = jax.nn.softmax(scores, axis=-1)
@@ -299,7 +306,9 @@ class BoxMultiHeadAttention(nn.Module):
 
         geo = box_relational_embedding(boxes, dim_g=self.dim_g, trigonometric=self.trigonometric_embedding)
         w_g = nn.relu(self.wg(geo, train))  # (B, R, R, h)
-        log_wg = jnp.log(jnp.maximum(w_g, 1e-6)).transpose(0, 3, 1, 2)  # (B, h, R, R)
+        # geometry log/clamp math stays f32; cast the bias to the attention
+        # dtype so an f32 `boxes` input doesn't re-promote a bf16 encoder
+        log_wg = jnp.log(jnp.maximum(w_g, 1e-6)).transpose(0, 3, 1, 2).astype(q.dtype)  # (B, h, R, R)
 
         drop = (lambda p: self.attn_dropout(p, deterministic=False)) if train else None
         out = scaled_dot_attention(q, k, v, mask=mask, bias=log_wg, dropout=drop)
