@@ -251,16 +251,27 @@ class TrainingModule:
         opt_w, opt_m = self.opt_w, self.opt_m
         model = self.model
 
+        remat = bool(self.config.get("remat", False))
+
         @jax.jit
         def xe_step(state: TrainState, inputs: Dict, seq_masks, rng):
             k_drop, k_mask, k_ss = jax.random.split(rng, 3)
 
-            def loss_fn(params, masks):
+            def forward(params, masks):
                 variables = {"params": params}
                 if masks:
                     variables["masks"] = masks
-                lp = model.apply(variables, **inputs, train=True,
-                                 rngs={"dropout": k_drop, "mask": k_mask, "ss": k_ss})
+                return model.apply(variables, **inputs, train=True,
+                                   rngs={"dropout": k_drop, "mask": k_mask, "ss": k_ss})
+
+            if remat:
+                # trade FLOPs for HBM: recompute activations in the backward
+                # pass (supersedes the reference's MaskedLSTMCellCheckpoint,
+                # pruning/masked_layer.py:215-255)
+                forward = jax.checkpoint(forward)
+
+            def loss_fn(params, masks):
+                lp = forward(params, masks)
                 seqs = inputs["seqs"]
                 loss = criterion(lp, seqs[:, 1:], seq_masks[:, 1:])
                 aux = {"caption_loss": loss}

@@ -79,6 +79,8 @@ def add_training_args(parser) -> None:
     parser.add_argument("--profile_dir", type=str, default=None,
                         help="write a jax.profiler trace of steps 2..2+profile_steps here")
     parser.add_argument("--profile_steps", type=int, default=10)
+    parser.add_argument("--remat", action="store_true",
+                        help="rematerialize activations in the XE backward pass (memory for FLOPs)")
 
 
 def add_pruning_args(parser) -> None:
