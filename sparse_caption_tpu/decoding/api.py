@@ -64,6 +64,7 @@ def generate(
             bos_id=model.bos_id, eos_id=model.eos_id, pad_id=model.pad_id,
             greedy=False, temperature=temperature,
             decoding_constraint=decoding_constraint, rng=rng,
+            differentiable=bool(opt.get("differentiable", False)),
         )
         return seq.reshape(b, num_random_sample, max_len), seq_lp.reshape(b, num_random_sample, max_len)
 

@@ -37,6 +37,7 @@ def sample_decode(
     temperature: float = 1.0,
     decoding_constraint: int = 0,
     rng: Optional[jax.Array] = None,
+    differentiable: bool = False,
 ) -> Tuple[jnp.ndarray, jnp.ndarray]:
     """Run the decode loop.
 
@@ -47,11 +48,24 @@ def sample_decode(
     if rng is None:
         rng = jax.random.PRNGKey(0)
 
-    init_it = jnp.full((batch_size,), bos_id, dtype=jnp.int32)
-    init_unfinished = jnp.ones((batch_size,), dtype=jnp.bool_)
+    init = (
+        jnp.zeros((), jnp.int32),  # t
+        jnp.full((batch_size,), bos_id, dtype=jnp.int32),  # it
+        init_cache,
+        jnp.ones((batch_size,), dtype=jnp.bool_),  # unfinished
+        rng,
+        jnp.full((batch_size, max_len), pad_id, jnp.int32),  # seq
+        jnp.zeros((batch_size, max_len)),  # seq_lp
+    )
 
-    def body(carry, t):
-        it, cache, unfinished, key = carry
+    def cond(carry):
+        t, _, _, unfinished, _, _, _ = carry
+        # early exit once every row has emitted EOS (reference greedy loop's
+        # "quit loop if all sequences have finished", transformer.py:549-551)
+        return (t < max_len) & jnp.any(unfinished)
+
+    def body(carry):
+        t, it, cache, unfinished, key, seq, seq_lp = carry
         logprobs, cache = step_fn(it, cache, t)
         if decoding_constraint:
             # forbid the previous token (only meaningful for t > 0; at t == 0
@@ -63,12 +77,24 @@ def sample_decode(
         else:
             key, sub = jax.random.split(key)
             next_it = jax.random.categorical(sub, logprobs / temperature, axis=-1).astype(jnp.int32)
-        chosen_lp = jnp.take_along_axis(logprobs, next_it[:, None], axis=-1)[:, 0]
+        chosen_lp = jnp.take_along_axis(logprobs, next_it[:, None], axis=-1)[:, 0].astype(seq_lp.dtype)
         tok = jnp.where(unfinished, next_it, jnp.int32(pad_id))
+        seq = seq.at[:, t].set(tok)
+        seq_lp = seq_lp.at[:, t].set(chosen_lp)
         unfinished = unfinished & (next_it != eos_id)
-        return (tok, cache, unfinished, key), (tok, chosen_lp)
+        return (t + 1, tok, cache, unfinished, key, seq, seq_lp)
 
-    (_, _, _, _), (seq, seq_lp) = jax.lax.scan(
-        body, (init_it, init_cache, init_unfinished, rng), jnp.arange(max_len)
-    )
-    return seq.T, seq_lp.T  # (B, T)
+    if differentiable:
+        # reverse-mode AD cannot cross lax.while_loop; SCST-with-grads uses a
+        # fixed-length scan instead (no early exit)
+        def scan_body(carry, t):
+            new = body((t,) + carry)
+            return new[1:], None
+
+        carry = init[1:]
+        for_scan = jax.lax.scan(scan_body, carry, jnp.arange(max_len))[0]
+        _, _, _, _, seq, seq_lp = for_scan
+        return seq, seq_lp
+
+    _, _, _, _, _, seq, seq_lp = jax.lax.while_loop(cond, body, init)
+    return seq, seq_lp

@@ -428,7 +428,8 @@ class TrainingModule:
             sample_opt = {"beam_size": num_samples, "max_seq_length": max_len}
         else:
             sample_opt = {"num_random_sample": num_samples, "beam_size": 0, "max_seq_length": max_len,
-                          "temperature": float(config.get("scst_temperature", 1.0))}
+                          "temperature": float(config.get("scst_temperature", 1.0)),
+                          "differentiable": True}  # grads flow through the sampling decode
         greedy_opt = {"beam_size": 1, "max_seq_length": max_len}
 
         holder: Dict[str, Any] = {"gts": None}  # set per batch before the jit call
