@@ -126,7 +126,11 @@ class TrainingModule:
     # ------------------------------------------------------------- loaders
     def get_loader(self, split: str, train: bool) -> BatchLoader:
         bs = self.config.batch_size if train else self.config.get("batch_size_eval", self.config.batch_size)
-        records = self.data.get_split(split, generation_mode=True)
+        # train iterates per-caption records (~5x per image on COCO) exactly
+        # like the reference DataLoader (utils/training.py:97-116 over the raw
+        # split, karpathy.py:55-80 dedups only in generation mode); eval
+        # dedups to one record per image
+        records = self.data.get_split(split, generation_mode=not train)
         return BatchLoader(records, self.batcher, bs, train=train, seed=int(self.config.get("seed", 8888)))
 
     def prepare(self) -> None:

@@ -53,6 +53,25 @@ def run_train(argv, prune: bool = False):
     return module
 
 
+def test_train_loader_iterates_per_caption_records(fixture_dataset, tmp_path):
+    """A train epoch covers one record per (image, caption) — ~5x per image on
+    COCO — matching the reference DataLoader over the raw split
+    (utils/training.py:97-116; karpathy.py:55-80 dedups only in generation
+    mode). Eval loaders dedup to one record per image."""
+    args = parse_opt(tiny_args(fixture_dataset, tmp_path, "transformer", TINY_TRANSFORMER))
+    config = Config(**vars(args))
+    from sparse_caption_tpu.engine.training import TrainingModule
+
+    module = TrainingModule(config)
+    n_caption_records = len(module.data.get_split("train"))
+    assert n_caption_records == 2 * 5  # 2 train images x 5 captions each
+    train_loader = module.get_loader("train", train=True)
+    assert len(train_loader.records) == n_caption_records
+    assert len(train_loader) == n_caption_records // config.batch_size
+    val_loader = module.get_loader("val", train=False)
+    assert len(val_loader.records) == 2  # deduped per image
+
+
 @pytest.mark.parametrize(
     "model,extra",
     [
