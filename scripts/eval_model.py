@@ -24,6 +24,19 @@ def parse_args():
     p.add_argument("--split", type=str, default="test", choices=["val", "test"])
     p.add_argument("--beam_size", type=int, default=None)
     p.add_argument("--eval_dir_suffix", type=str, default=None)
+    # decode-option overrides (the reference passes the run config as the
+    # decode opt dict, utils/training.py:272; these override config.json)
+    p.add_argument("--group_size", type=int, default=None, help="diverse beam groups")
+    p.add_argument("--diversity_lambda", type=float, default=None)
+    p.add_argument("--length_penalty", type=str, default=None, help="'' | 'wu_<a>' | 'avg_<a>'")
+    p.add_argument("--decoding_constraint", type=int, default=None)
+    p.add_argument("--suppress_UNK", type=int, default=None)
+    p.add_argument("--remove_bad_endings", type=int, default=None)
+    p.add_argument("--num_random_sample", type=int, default=None,
+                   help="> 0 (with --beam_size 0): sampling eval")
+    p.add_argument("--temperature", type=float, default=None)
+    p.add_argument("--sample_method", type=str, default=None,
+                   help="'random' | 'greedy' | 'gumbel' | 'top<k>' | 'top<p>'")
     p.add_argument("--logging_level", type=str, default="INFO")
     p.add_argument("--platform", type=str, default=None, choices=["cpu", "tpu"])
     p.add_argument("--cast", type=str, default=None, choices=["bf16", "fp16"],
@@ -57,6 +70,11 @@ def main():
         config.eval_dir_suffix = args.eval_dir_suffix
     if args.beam_size is not None:
         setattr(config, f"beam_size_{args.split}", args.beam_size)
+    for flag in ("group_size", "diversity_lambda", "length_penalty", "decoding_constraint",
+                 "suppress_UNK", "remove_bad_endings", "num_random_sample", "temperature",
+                 "sample_method"):
+        if getattr(args, flag) is not None:
+            setattr(config, flag, getattr(args, flag))
 
     module = TrainingModule(config)
     module.prepare()

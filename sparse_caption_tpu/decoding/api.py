@@ -63,6 +63,7 @@ def generate(
             make_step(mem), cache, b * num_random_sample, max_len,
             bos_id=model.bos_id, eos_id=model.eos_id, pad_id=model.pad_id,
             greedy=False, temperature=temperature,
+            sample_method=str(opt.get("sample_method", "random")),
             decoding_constraint=decoding_constraint, rng=rng,
             differentiable=bool(opt.get("differentiable", False)),
         )
@@ -84,27 +85,43 @@ def generate(
             cache = model.apply(variables, mem, max_len + 1, method="init_cache")
             return beam_search(make_step(mem), cache, b, beam_size, max_len, vocab, **common)
 
-        # diverse beam search (reference caption_model.py:30-226): groups of
-        # bdash beams run sequentially; group g's logprobs at local time t are
-        # penalized by lambda x counts of earlier groups' tokens at time t —
-        # equivalent to the reference's time-staggered schedule, since group g
-        # only ever reads groups 0..g-1 at the same local time.
+        # diverse beam search (reference caption_model.py:30-226): the
+        # reference staggers groups in time — group g at local time t reads
+        # earlier group p's LIVE beam tokens at position t as of p's step
+        # t + (g - p) (add_diversity, caption_model.py:40-43). Groups run as
+        # sequential scans here; each records per-step live-beam snapshots
+        # so later groups can replay that exact staggered view.
         assert beam_size % group_size == 0, "beam_size must divide by group_size"
         bdash = beam_size // group_size
         div_lambda = float(opt.get("diversity_lambda", 0.5))
         mem = _repeat_pytree(memory, bdash)
-        seqs_out, lps_out = [], []
-        prev_tokens = None
-        for _ in range(group_size):
+
+        def staggered_tokens(snap, off):
+            """(B, bdash, T): prev group's live beams' token at position t, as
+            seen after that group's scan step min(t + off, T-1)."""
+            t_total = snap.shape[0]
+            rows = snap[jnp.minimum(jnp.arange(t_total) + off, t_total - 1)]  # (T, B, K, T)
+            idx = jnp.arange(t_total)[:, None, None, None]
+            col = jnp.take_along_axis(rows, idx, axis=3)[..., 0]  # (T, B, K)
+            return col.transpose(1, 2, 0)
+
+        seqs_out, lps_out, snapshots = [], [], []
+        for divm in range(group_size):
+            prev_tokens = None
+            if divm > 0:
+                prev_tokens = jnp.concatenate(
+                    [staggered_tokens(snapshots[p], divm - p) for p in range(divm)], axis=1
+                )
             cache = model.apply(variables, mem, max_len + 1, method="init_cache")
-            seq_g, lp_g = beam_search(
+            seq_g, lp_g, snap_g = beam_search(
                 make_step(mem), cache, b, bdash, max_len, vocab,
                 diversity_penalty_tokens=prev_tokens, diversity_lambda=div_lambda,
+                return_seq_snapshots=True,
                 **common,
             )
             seqs_out.append(seq_g)
             lps_out.append(lp_g)
-            prev_tokens = seq_g if prev_tokens is None else jnp.concatenate([prev_tokens, seq_g], axis=1)
+            snapshots.append(snap_g)
         return jnp.concatenate(seqs_out, axis=1), jnp.concatenate(lps_out, axis=1)
 
     cache = model.apply(variables, memory, max_len + 1, method="init_cache")

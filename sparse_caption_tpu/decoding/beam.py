@@ -98,7 +98,8 @@ def beam_search(
     bad_ending_ids: Optional[Sequence[int]] = None,
     diversity_penalty_tokens: Optional[jnp.ndarray] = None,
     diversity_lambda: float = 0.5,
-) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    return_seq_snapshots: bool = False,
+) -> Tuple[jnp.ndarray, ...]:
     """Beam search over ``step_fn(it, cache, t) -> (logprobs (B*K, V), cache)``.
 
     The caller must pre-repeat memory/cache pytrees to batch ``B*K``
@@ -188,8 +189,13 @@ def beam_search(
             done_seq=done_seq,
             done_seq_lp=done_seq_lp,
         )
-        return new_state, None
+        # live-beam snapshot after this step: diverse groups read earlier
+        # groups' *live* (reordered) beam tokens at a staggered time offset
+        # (reference add_diversity, caption_model.py:40-43)
+        return new_state, (seq if return_seq_snapshots else None)
 
-    final, _ = jax.lax.scan(body, init, jnp.arange(max_len))
+    final, snapshots = jax.lax.scan(body, init, jnp.arange(max_len))
     # done set is already top-K sorted by penalized score
+    if return_seq_snapshots:
+        return final.done_seq, final.done_seq_lp, snapshots
     return final.done_seq, final.done_seq_lp

@@ -23,6 +23,69 @@ from typing import Callable, Optional, Tuple
 import jax
 import jax.numpy as jnp
 
+NEG_INF = -1e30
+
+
+def modified_sample_logits(logprobs: jnp.ndarray, sample_method: str, temperature: float) -> jnp.ndarray:
+    """The deterministic logit transformation of the reference's
+    ``sample_next_word`` (caption_model.py:228-268) for the categorical
+    methods: temperature scaling plus top-k filtering (``top<k>``, k >= 1)
+    or nucleus renormalization (``top<p>``, 0 < p < 1). The returned logits
+    are both the sampling distribution and the values gathered as
+    sample_logprobs (the reference gathers from the modified tensor)."""
+    scaled = logprobs / temperature
+    if not sample_method.startswith("top"):
+        assert sample_method == "random", f"unknown sample_method `{sample_method}`"
+        return scaled
+    top_num = float(sample_method[3:])
+    if 0 < top_num < 1:
+        # nucleus sampling (Holtzman et al.): keep the smallest prefix of the
+        # sorted distribution with cumulative mass >= p (first token always
+        # kept), renormalize, write log-probs back (reference :245-256)
+        probs = jax.nn.softmax(scaled, axis=-1)
+        sorted_probs = jnp.sort(probs, axis=-1)[:, ::-1]
+        csum = jnp.cumsum(sorted_probs, axis=-1)
+        keep_sorted = jnp.concatenate(
+            [jnp.ones_like(csum[:, :1], dtype=bool), csum[:, :-1] < top_num], axis=-1
+        )
+        kept = jnp.where(keep_sorted, sorted_probs, 0.0)
+        kept = kept / jnp.sum(kept, axis=-1, keepdims=True)
+        # map back to vocab order: token v is kept iff its prob > cutoff
+        # (strictly-sorted assumption matches the reference's scatter by
+        # sort indices; ties share the same fate by probability value)
+        n_keep = jnp.sum(keep_sorted, axis=-1, keepdims=True)  # (B, 1)
+        ranks = jnp.argsort(jnp.argsort(-probs, axis=-1), axis=-1)  # rank of each token
+        keep = ranks < n_keep
+        denom = jnp.sum(jnp.where(keep, probs, 0.0), axis=-1, keepdims=True)
+        return jnp.where(keep, jnp.log(probs / denom), NEG_INF)
+    k = int(top_num)
+    kth = jax.lax.top_k(scaled, k)[0][:, -1:]
+    return jnp.where(scaled >= kth, scaled, NEG_INF)
+
+
+def sample_next_word(
+    logprobs: jnp.ndarray, sample_method: str, temperature: float, key: jax.Array
+) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """One sampling decision (parity: reference ``CaptionModel.sample_next_word``,
+    caption_model.py:228-268). Returns (it (B,) int32, sample_logprobs (B,))."""
+    if sample_method == "greedy":
+        it = jnp.argmax(logprobs, axis=-1).astype(jnp.int32)
+        lp = jnp.take_along_axis(logprobs, it[:, None], axis=-1)[:, 0]
+        return it, lp
+    if sample_method == "gumbel":
+        # argmax of log_softmax((lp + g)/T) == argmax(lp + g); sample_logprobs
+        # gathered from the ORIGINAL logprobs (reference :233-243)
+        eps = 1e-20
+        u = jax.random.uniform(key, logprobs.shape)
+        g = -jnp.log(-jnp.log(u + eps) + eps)
+        it = jnp.argmax(logprobs + g, axis=-1).astype(jnp.int32)
+        lp = jnp.take_along_axis(logprobs, it[:, None], axis=-1)[:, 0]
+        return it, lp
+    modified = modified_sample_logits(logprobs, sample_method, temperature)
+    it = jax.random.categorical(key, modified, axis=-1).astype(jnp.int32)
+    lp = jnp.take_along_axis(modified, it[:, None], axis=-1)[:, 0]
+    return it, lp
+
 
 def sample_decode(
     step_fn: Callable,
@@ -35,6 +98,7 @@ def sample_decode(
     pad_id: int = 0,
     greedy: bool = True,
     temperature: float = 1.0,
+    sample_method: str = "random",
     decoding_constraint: int = 0,
     rng: Optional[jax.Array] = None,
     differentiable: bool = False,
@@ -74,10 +138,17 @@ def sample_decode(
             logprobs = jnp.where(t > 0, logprobs + jnp.nan_to_num(prev_penalty, neginf=-1e30), logprobs)
         if greedy:
             next_it = jnp.argmax(logprobs, axis=-1).astype(jnp.int32)
-        else:
+            chosen_lp = jnp.take_along_axis(logprobs, next_it[:, None], axis=-1)[:, 0]
+        elif sample_method == "random":
+            # reference random loop: multinomial(exp(lp/T)) with lp gathered
+            # from the raw logprobs (transformer.py:533-541)
             key, sub = jax.random.split(key)
             next_it = jax.random.categorical(sub, logprobs / temperature, axis=-1).astype(jnp.int32)
-        chosen_lp = jnp.take_along_axis(logprobs, next_it[:, None], axis=-1)[:, 0].astype(seq_lp.dtype)
+            chosen_lp = jnp.take_along_axis(logprobs, next_it[:, None], axis=-1)[:, 0]
+        else:  # greedy / gumbel / top-k / nucleus sample_next_word variants
+            key, sub = jax.random.split(key)
+            next_it, chosen_lp = sample_next_word(logprobs, sample_method, temperature, sub)
+        chosen_lp = chosen_lp.astype(seq_lp.dtype)
         tok = jnp.where(unfinished, next_it, jnp.int32(pad_id))
         seq = seq.at[:, t].set(tok)
         seq_lp = seq_lp.at[:, t].set(chosen_lp)

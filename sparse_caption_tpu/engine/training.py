@@ -524,6 +524,9 @@ class TrainingModule:
             "length_penalty": str(config.get("length_penalty", "") or ""),
             "decoding_constraint": int(config.get("decoding_constraint", 0)),
             "suppress_UNK": int(config.get("suppress_UNK", 0)),
+            "num_random_sample": int(config.get("num_random_sample", 0)),
+            "temperature": float(config.get("temperature", 1.0)),
+            "sample_method": str(config.get("sample_method", "random")),
         }
         if config.get("remove_bad_endings"):
             from sparse_caption_tpu.decoding.constraints import bad_ending_ids
@@ -534,8 +537,13 @@ class TrainingModule:
     def eval_on_split(self, loader: BatchLoader, split: str):
         config = self.config
         beam_size = int(config.get(f"beam_size_{split}", config.get("beam_size", 1)))
-        opt = self._decode_opt(max(beam_size, 1))
-        decode = self._cached_decode(f"eval_beam{beam_size}", opt)
+        if int(config.get("num_random_sample", 0)) > 0:
+            # sampling eval requires beam_size < 1 (reference att_model.py:226)
+            beam_size = 0
+            opt = self._decode_opt(0)
+        else:
+            opt = self._decode_opt(max(beam_size, 1))
+        decode = self._cached_decode(f"eval_beam{beam_size}_ns{opt['num_random_sample']}", opt)
         variables = self._variables(self.state)
 
         t0 = time.perf_counter()

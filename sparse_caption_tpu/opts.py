@@ -71,6 +71,15 @@ def add_training_args(parser) -> None:
                         help="1: forbid EOS after dangling function words")
     parser.add_argument("--group_size", type=int, default=1, help="diverse beam groups")
     parser.add_argument("--diversity_lambda", type=float, default=0.5)
+    # sampling-mode generation (reference att_model.py:186-188 reads these
+    # from the opt/config dict; caption_model.py:228-268 sample_next_word)
+    parser.add_argument("--num_random_sample", type=int, default=0,
+                        help="> 0 with beam_size < 1: sample N captions per image")
+    parser.add_argument("--temperature", type=float, default=1.0)
+    parser.add_argument("--sample_method", type=str, default="random",
+                        help="'random' | 'greedy' | 'gumbel' | 'top<k>' (int k) | 'top<p>' (0<p<1 nucleus)")
+    parser.add_argument("--ss_prob", type=float, default=0.0,
+                        help="scheduled-sampling probability (up_down_lstm XE unroll)")
     parser.add_argument("--max_att_regions", type=int, default=36)
     parser.add_argument("--mesh_shape", type=str, default=None,
                         help="device mesh, e.g. '4,2' for (data=4, model=2); None = single device")

@@ -178,6 +178,156 @@ def test_updown_forward_parity(ref_modules):
     assert d < 1e-4, f"up_down logprob mismatch {d}"
 
 
+# --------------------------------------------------------------------- decode
+def _jax_transformer_and_params(ref, model_cls="transformer", **kw):
+    from sparse_caption_tpu.models.relation_transformer import RelationTransformer
+    from sparse_caption_tpu.models.transformer import Transformer
+    from sparse_caption_tpu.utils.convert_torch import convert_state_dict
+
+    params, _ = convert_state_dict(ref.state_dict(), model_cls)
+    cls = RelationTransformer if model_cls == "relation_transformer" else Transformer
+    mine = cls(vocab_size=20, d_model=16, dim_feedforward=32, num_layers=2,
+               num_heads=4, att_feat_size=8, max_seq_length=7, drop_prob_src=0.0, **kw)
+    return mine, params
+
+
+def _beam_decode_ours(mine, params, att, amask, opt, boxes=None):
+    import jax.numpy as jnp
+
+    from sparse_caption_tpu.decoding import generate
+
+    enc_kwargs = dict(att_feats=jnp.asarray(att), att_masks=jnp.asarray(amask))
+    if boxes is not None:
+        enc_kwargs["boxes"] = jnp.asarray(boxes)
+    memory = mine.apply({"params": params}, **enc_kwargs, method="encode")
+    seq, seq_lp = generate(mine, {"params": params}, memory, opt)
+    return np.asarray(seq), np.asarray(seq_lp)
+
+
+@pytest.mark.parametrize(
+    "beam_size,length_penalty,decoding_constraint",
+    [
+        (3, "", 0),
+        (5, "", 0),
+        (3, "wu_0.8", 0),
+        (5, "wu_0.8", 1),
+        (5, "avg_1.0", 0),
+        (3, "", 1),
+    ],
+)
+def test_beam_decode_output_parity(ref_modules, beam_size, length_penalty, decoding_constraint):
+    """Decode-output oracle: beam search on converted weights must emit the
+    same token sequences as the live reference ``_sample``
+    (caption_model.py:56-226 + transformer.py:471-505), across beam sizes,
+    length penalties (model_utils.py:121-146), and decoding_constraint."""
+    import torch
+
+    RefConfig, RefTransformer, _, _ = ref_modules
+    cfg = _ref_config(RefConfig)
+    torch.manual_seed(11)
+    ref = RefTransformer(cfg)
+    ref.eval()
+    att, amask, _, _ = _inputs()
+    opt = dict(beam_size=beam_size, group_size=1, length_penalty=length_penalty,
+               decoding_constraint=decoding_constraint, suppress_UNK=0, remove_bad_endings=0)
+    with torch.no_grad():
+        ref_seq, _ = ref(att_feats=torch.tensor(att), att_masks=torch.tensor(amask),
+                         mode="sample", opt=opt)
+
+    mine, params = _jax_transformer_and_params(ref)
+    seq, _ = _beam_decode_ours(mine, params, att, amask, dict(opt, max_seq_length=7))
+    np.testing.assert_array_equal(ref_seq.numpy(), seq)
+
+
+def test_ort_beam_decode_output_parity(ref_modules):
+    """Same oracle through the ORT geometry-biased decode path."""
+    import torch
+
+    RefConfig, _, RefORT, _ = ref_modules
+    cfg = _ref_config(RefConfig)
+    torch.manual_seed(12)
+    ref = RefORT(cfg)
+    ref.eval()
+    att, amask, boxes, _ = _inputs()
+    opt = dict(beam_size=4, group_size=1, length_penalty="wu_0.8",
+               decoding_constraint=1, suppress_UNK=0, remove_bad_endings=0)
+    with torch.no_grad():
+        ref_seq, _ = ref(att_feats=torch.tensor(att), boxes=torch.tensor(boxes),
+                         att_masks=torch.tensor(amask), mode="sample", opt=opt)
+
+    mine, params = _jax_transformer_and_params(ref, "relation_transformer")
+    seq, _ = _beam_decode_ours(mine, params, att, amask, dict(opt, max_seq_length=7), boxes=boxes)
+    np.testing.assert_array_equal(ref_seq.numpy(), seq)
+
+
+def test_greedy_decode_output_parity(ref_modules):
+    """Greedy (beam 1) loop parity vs reference transformer.py:506-561."""
+    import torch
+
+    RefConfig, RefTransformer, _, _ = ref_modules
+    cfg = _ref_config(RefConfig)
+    torch.manual_seed(13)
+    ref = RefTransformer(cfg)
+    ref.eval()
+    att, amask, _, _ = _inputs()
+    opt = dict(beam_size=1)
+    with torch.no_grad():
+        ref_seq, _ = ref(att_feats=torch.tensor(att), att_masks=torch.tensor(amask),
+                         mode="sample", opt=opt)
+
+    mine, params = _jax_transformer_and_params(ref)
+    seq, _ = _beam_decode_ours(mine, params, att, amask, dict(opt, max_seq_length=7))
+    np.testing.assert_array_equal(ref_seq.numpy(), seq)
+
+
+def test_diverse_beam_decode_output_parity(ref_modules):
+    """Diverse beam search (group_size > 1) oracle vs the reference's
+    time-staggered add_diversity schedule (caption_model.py:30-52,113-226).
+
+    Two latent reference bugs shape this test:
+    * the reference CRASHES for local_time > 0 — add_diversity calls
+      ``self.repeat_tensor`` (caption_model.py:50) which no model defines
+      (the helper is the module-level ``repeat_tensors``, model_utils.py:34);
+      the obviously intended repeat_interleave is monkeypatched in here
+    * for the cached transformers, ``PositionalEncoding.current_time_step``
+      (transformer.py:377,385-386) is module state shared across diverse
+      groups, so interleaved group stepping feeds BOTH groups corrupted PE
+      positions (group 0 skips every other position). The rebuild passes
+      explicit time indices and is immune; there is no meaningful
+      transformer oracle. The Up-Down LSTM carries no such shared state, so
+      it is the clean oracle for the staggered diversity schedule.
+    """
+    import torch
+
+    RefConfig, _, _, RefUpDown = ref_modules
+    cfg = _ref_config(RefConfig)
+    torch.manual_seed(14)
+    ref = RefUpDown(cfg)
+    ref.repeat_tensor = lambda n, x: x.repeat_interleave(n, dim=0)
+    ref.eval()
+    att, amask, _, _ = _inputs()
+    fc = np.random.default_rng(7).standard_normal((2, 8)).astype(np.float32)
+    opt = dict(beam_size=4, group_size=2, diversity_lambda=0.7, length_penalty="",
+               decoding_constraint=0, suppress_UNK=0, remove_bad_endings=0)
+    with torch.no_grad():
+        ref_seq, _ = ref(fc_feats=torch.tensor(fc), att_feats=torch.tensor(att),
+                         att_masks=torch.tensor(amask), mode="sample", opt=opt)
+
+    import jax.numpy as jnp
+
+    from sparse_caption_tpu.decoding import generate
+    from sparse_caption_tpu.models.up_down import UpDownModel
+    from sparse_caption_tpu.utils.convert_torch import convert_state_dict
+
+    params, _ = convert_state_dict(ref.state_dict(), "up_down_lstm")
+    mine = UpDownModel(vocab_size=20, rnn_size=16, input_encoding_size=16, att_hid_size=8,
+                       fc_feat_size=8, att_feat_size=8, max_seq_length=7, drop_prob_lm=0.0)
+    memory = mine.apply({"params": params}, jnp.asarray(att), jnp.asarray(amask),
+                        fc_feats=jnp.asarray(fc), method="encode")
+    seq, _ = generate(mine, {"params": params}, memory, dict(opt, max_seq_length=7))
+    np.testing.assert_array_equal(ref_seq.numpy(), np.asarray(seq))
+
+
 def test_acort_shared_forward_parity(ref_modules):
     """ORT with ACORT flags (kv attention sharing + layer sharing): converted
     weights reproduce the reference forward (<1e-4) through the deduplicated
