@@ -55,10 +55,21 @@ def generate(
 
         return step_fn
 
+    grouped = bool(getattr(model, "SUPPORTS_GROUPED_DECODE", False))
+
+    def grouped_cache(rows_per_image: int, beam_ancestry: bool = False):
+        """Cache + step memory for models that read one cross-K/V row per
+        image (no memory repeat); falls back to physical repeat otherwise."""
+        if grouped:
+            cache = model.apply(variables, memory, max_len + 1, rows_per_image, beam_ancestry,
+                                method="init_cache")
+            return cache, memory
+        mem = _repeat_pytree(memory, rows_per_image)
+        return model.apply(variables, mem, max_len + 1, method="init_cache"), mem
+
     if num_random_sample > 0:
         assert beam_size < 1, f"beam_size must be < 1 for random sampling, got {beam_size}"
-        mem = _repeat_pytree(memory, num_random_sample)
-        cache = model.apply(variables, mem, max_len + 1, method="init_cache")
+        cache, mem = grouped_cache(num_random_sample)
         seq, seq_lp = sample_decode(
             make_step(mem), cache, b * num_random_sample, max_len,
             bos_id=model.bos_id, eos_id=model.eos_id, pad_id=model.pad_id,
@@ -81,8 +92,7 @@ def generate(
             bad_ending_ids=opt.get("bad_ending_ids"),
         )
         if group_size <= 1:
-            mem = _repeat_pytree(memory, beam_size)
-            cache = model.apply(variables, mem, max_len + 1, method="init_cache")
+            cache, mem = grouped_cache(beam_size, beam_ancestry=True)
             return beam_search(make_step(mem), cache, b, beam_size, max_len, vocab, **common)
 
         # diverse beam search (reference caption_model.py:30-226): the
@@ -94,7 +104,6 @@ def generate(
         assert beam_size % group_size == 0, "beam_size must divide by group_size"
         bdash = beam_size // group_size
         div_lambda = float(opt.get("diversity_lambda", 0.5))
-        mem = _repeat_pytree(memory, bdash)
 
         def staggered_tokens(snap, off):
             """(B, bdash, T): prev group's live beams' token at position t, as
@@ -112,7 +121,7 @@ def generate(
                 prev_tokens = jnp.concatenate(
                     [staggered_tokens(snapshots[p], divm - p) for p in range(divm)], axis=1
                 )
-            cache = model.apply(variables, mem, max_len + 1, method="init_cache")
+            cache, mem = grouped_cache(bdash, beam_ancestry=True)
             seq_g, lp_g, snap_g = beam_search(
                 make_step(mem), cache, b, bdash, max_len, vocab,
                 diversity_penalty_tokens=prev_tokens, diversity_lambda=div_lambda,
@@ -124,9 +133,9 @@ def generate(
             snapshots.append(snap_g)
         return jnp.concatenate(seqs_out, axis=1), jnp.concatenate(lps_out, axis=1)
 
-    cache = model.apply(variables, memory, max_len + 1, method="init_cache")
+    cache, mem = grouped_cache(1)
     seq, seq_lp = sample_decode(
-        make_step(memory), cache, b, max_len,
+        make_step(mem), cache, b, max_len,
         bos_id=model.bos_id, eos_id=model.eos_id, pad_id=model.pad_id,
         greedy=True, decoding_constraint=decoding_constraint, rng=rng,
     )

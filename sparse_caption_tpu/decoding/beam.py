@@ -72,6 +72,13 @@ def _gather_beams(x, beam_ix, batch_size: int, k: int):
             return out.reshape(a.shape)
         return jnp.take(a, flat_ix, axis=0)
 
+    if isinstance(x, dict) and "ancestry" in x:
+        # ancestry mode: the K/V cache rows are never reordered — only the
+        # tiny (B, K, T) ancestor map is gathered by parent beam (the model
+        # resolves ancestry inside attention, layers.decode_self)
+        out = dict(x)
+        out["ancestry"] = jnp.take_along_axis(x["ancestry"], beam_ix[..., None], axis=1)
+        return out
     if isinstance(x, dict) and "static" in x:
         rest = {kk: v for kk, v in x.items() if kk != "static"}
         out = jax.tree.map(sel, rest)
@@ -146,21 +153,33 @@ def beam_search(
             change = jnp.sum(jax.nn.one_hot(prev_t, vocab_size), axis=1)  # (B, V)
             constrained = constrained - jnp.repeat(change, k, axis=0) * diversity_lambda
 
-        cand = state.sum_lp[..., None] + constrained.reshape(batch_size, k, vocab_size)
-        flat = cand.reshape(batch_size, k * vocab_size)
-        top_scores, top_ix = jax.lax.top_k(flat, k)  # (B, K)
-        beam_ix = top_ix // vocab_size  # parent beam
-        tok_ix = (top_ix % vocab_size).astype(jnp.int32)
+        # two-level top-k (exact): each beam can contribute at most K winners
+        # to the per-image top-K (sum_lp is constant within a beam), so take
+        # the per-beam top-K tokens first (one V-wide pass) and resolve the
+        # final top-K over the tiny (K, K) candidate grid. This removes the
+        # (B, K*V) candidate materialization + vocab-wide select that
+        # dominated the decode step (CLAUDE.md round-1 profile).
+        row_lp, row_tok = jax.lax.top_k(constrained, k)  # (B*K, K) augmented
+        cand = state.sum_lp[..., None] + row_lp.reshape(batch_size, k, k).astype(state.sum_lp.dtype)
+        top_scores, flat_ix = jax.lax.top_k(cand.reshape(batch_size, k * k), k)  # (B, K)
+        beam_ix = flat_ix // k  # parent beam
+        rank_ix = flat_ix % k  # which of the parent's top-K tokens
+        tok_grid = row_tok.reshape(batch_size, k, k)
+        tok_ix = jnp.take_along_axis(
+            jnp.take_along_axis(tok_grid, beam_ix[..., None], axis=1), rank_ix[..., None], axis=2
+        )[..., 0].astype(jnp.int32)
 
         # reorder histories + cache by parent beam
         seq = jnp.take_along_axis(state.seq, beam_ix[..., None], axis=1)
         seq_lp = jnp.take_along_axis(state.seq_lp, beam_ix[..., None], axis=1)
         cache = _gather_beams(cache, beam_ix, batch_size, k)
 
-        # record token + its unaugmented logprob
-        raw_lp = logprobs.reshape(batch_size, k, vocab_size)
-        parent_lp = jnp.take_along_axis(raw_lp, beam_ix[..., None], axis=1)  # (B, K, V)
-        chosen_lp = jnp.take_along_axis(parent_lp, tok_ix[..., None], axis=2)[..., 0]  # (B, K)
+        # record token + its unaugmented logprob: gather the raw values of
+        # the K*K candidate tokens only (V-wide work is over by this point)
+        raw_grid = jnp.take_along_axis(logprobs, row_tok, axis=1).reshape(batch_size, k, k)
+        chosen_lp = jnp.take_along_axis(
+            jnp.take_along_axis(raw_grid, beam_ix[..., None], axis=1), rank_ix[..., None], axis=2
+        )[..., 0]
         chosen_lp = chosen_lp.astype(state.seq_lp.dtype)  # scores accumulate in f32 even for bf16 models
         seq = jax.lax.dynamic_update_index_in_dim(seq.transpose(2, 0, 1), tok_ix, t, axis=0).transpose(1, 2, 0)
         seq_lp = jax.lax.dynamic_update_index_in_dim(seq_lp.transpose(2, 0, 1), chosen_lp, t, axis=0).transpose(1, 2, 0)

@@ -185,10 +185,28 @@ class MultiHeadAttention(nn.Module):
         return self._project_kv(memory, memory, train)
 
     def decode_cross(self, x_t, mem_k, mem_v, mem_mask=None, train: bool = False):
-        """x_t: (B, 1, D); mem_k/v: (B, h, S, dk); mem_mask: (B, 1, 1, S)."""
-        q = _split_heads(self.q_proj(x_t, train), self.num_heads)
-        out = scaled_dot_attention(q, mem_k, mem_v, mask=mem_mask)
-        return self.out_proj(_merge_heads(out), train)
+        """x_t: (N, 1, D); mem_k/v: (B, h, S, dk) with B dividing N; mem_mask:
+        (B, 1, 1, S).  When N > B (beams / random samples per image), the
+        K/V rows are NOT repeated — each group of N/B query rows reads its
+        image's memory via broadcast, cutting cross-attention HBM traffic by
+        the group factor (the reference repeats the projected cache
+        per-beam, transformer.py:240-252)."""
+        q = _split_heads(self.q_proj(x_t, train), self.num_heads)  # (N, h, 1, dk)
+        b = mem_k.shape[0]
+        rep = q.shape[0] // b
+        if rep == 1:
+            out = scaled_dot_attention(q, mem_k, mem_v, mask=mem_mask)
+            return self.out_proj(_merge_heads(out), train)
+        h, dk = q.shape[1], q.shape[3]
+        qg = q.reshape(b, rep, h, dk)
+        scores = jnp.einsum("bkhd,bhsd->bkhs", qg, mem_k) / math.sqrt(dk)
+        if mem_mask is not None:
+            m = mem_mask.reshape(b, 1, 1, -1)  # broadcast over the group dim
+            scores = jnp.where(m == 0, jnp.asarray(NEG_INF, scores.dtype), scores)
+        probs = jax.nn.softmax(scores, axis=-1)
+        out = jnp.einsum("bkhs,bhsd->bkhd", probs, mem_v)  # (B, rep, h, dk)
+        out = out.reshape(b * rep, 1, h * dk)
+        return self.out_proj(out, train)
 
     def _fused_qkv_step(self, x_t):
         """q/k/v for one decode step as a single matmul over concatenated
@@ -204,11 +222,21 @@ class MultiHeadAttention(nn.Module):
         return (_split_heads(q, self.num_heads), _split_heads(k, self.num_heads),
                 _split_heads(v, self.num_heads))
 
-    def decode_self(self, x_t, cache_k, cache_v, t, train: bool = False):
+    def decode_self(self, x_t, cache_k, cache_v, t, train: bool = False, ancestry_onehot=None):
         """Single-step causal self-attention against a static-shape cache.
 
-        x_t: (B, 1, D); cache_k/v: (B, h, T_max, dk); t: scalar step index.
+        x_t: (N, 1, D); cache_k/v: (N, h, T_max, dk); t: scalar step index.
         Returns (out, new_cache_k, new_cache_v).
+
+        ``ancestry_onehot`` (B, K, T_max, K with N = B*K) switches on
+        beam-ancestry attention: cache rows are NEVER physically reordered
+        by the beam search — row j keeps the K/V it wrote at each step — and
+        the attention resolves beam k's history at slot t' through the
+        one-hot ancestor map instead. This removes the dominant per-step HBM
+        traffic of decode (full-cache gather + rewrite each step; round-2
+        profile) at the cost of a K-times-larger score contraction (trivial
+        FLOPs at beam widths). Exact: the one-hot selection reproduces the
+        physically-reordered scores bit-for-bit in bf16/f32.
         """
         if self.share_att is None and self.mask_cfg is None and not train:
             q, k_t, v_t = self._fused_qkv_step(x_t)
@@ -219,8 +247,25 @@ class MultiHeadAttention(nn.Module):
         cache_v = jax.lax.dynamic_update_slice_in_dim(cache_v, v_t, t, axis=2)
         t_max = cache_k.shape[2]
         valid = (jnp.arange(t_max) <= t)[None, None, None, :]  # (1,1,1,T_max)
-        out = scaled_dot_attention(q, cache_k, cache_v, mask=valid)
-        return self.out_proj(_merge_heads(out), train), cache_k, cache_v
+        if ancestry_onehot is None:
+            out = scaled_dot_attention(q, cache_k, cache_v, mask=valid)
+            return self.out_proj(_merge_heads(out), train), cache_k, cache_v
+
+        b, k, _, _ = ancestry_onehot.shape
+        h, dk = q.shape[1], q.shape[3]
+        a = ancestry_onehot.astype(q.dtype)
+        qg = q.reshape(b, k, h, dk)
+        kg = cache_k.reshape(b, k, h, t_max, dk)
+        vg = cache_v.reshape(b, k, h, t_max, dk)
+        # scores of beam k's query against EVERY row j's key at each slot,
+        # then one-hot-select the ancestor row per (k, t')
+        scores_all = jnp.einsum("bkhd,bjhtd->bkhtj", qg, kg) / math.sqrt(dk)
+        scores = jnp.einsum("bkhtj,bktj->bkht", scores_all, a)
+        scores = jnp.where(valid, scores, jnp.asarray(NEG_INF, scores.dtype))  # (B,K,h,T)
+        probs = jax.nn.softmax(scores, axis=-1)
+        pa = jnp.einsum("bkht,bktj->bkhtj", probs, a)
+        out = jnp.einsum("bkhtj,bjhtd->bkhd", pa, vg).reshape(b * k, 1, h * dk)
+        return self.out_proj(out, train), cache_k, cache_v
 
 
 # ----------------------------------------------------------------- ORT geometry

@@ -98,11 +98,13 @@ class DecoderLayer(nn.Module):
     def project_memory_kv(self, memory):
         return self.src_attn.project_memory_kv(memory)
 
-    def step(self, x_t, layer_cache: Dict, cross: Dict, t, mem_mask, train: bool = False):
+    def step(self, x_t, layer_cache: Dict, cross: Dict, t, mem_mask, train: bool = False,
+             ancestry_onehot=None):
         """One decode step. layer_cache: {self_k, self_v}; cross: {cross_k, cross_v}."""
         def self_fn(y):
             out, new_k, new_v = self.self_attn.decode_self(
-                y, layer_cache["self_k"], layer_cache["self_v"], t, train
+                y, layer_cache["self_k"], layer_cache["self_v"], t, train,
+                ancestry_onehot=ancestry_onehot,
             )
             layer_cache["self_k"], layer_cache["self_v"] = new_k, new_v
             return out
@@ -240,10 +242,24 @@ class Transformer(nn.Module):
         return self.generator(out, train)
 
     # ------------------------------------------------------------- decode
-    def init_cache(self, memory_pytree: Dict[str, Any], max_steps: Optional[int] = None) -> Dict[str, Any]:
-        """Build the static-shape decode cache (self KV zeros + projected cross KV)."""
+    # generate() may init the cache with rows_per_image > 1 against an
+    # UNREPEATED memory (cross K/V deduplicated to one row per image) and,
+    # for beam search, beam-ancestry attention instead of physical cache
+    # reorder — see layers.MultiHeadAttention.decode_self/decode_cross.
+    SUPPORTS_GROUPED_DECODE = True
+
+    def init_cache(self, memory_pytree: Dict[str, Any], max_steps: Optional[int] = None,
+                   rows_per_image: int = 1, beam_ancestry: bool = False) -> Dict[str, Any]:
+        """Build the static-shape decode cache.
+
+        Self-attention K/V zeros live at ``B * rows_per_image`` rows; the
+        projected cross K/V stays at B rows (one per image — each group of
+        rows broadcasts over its image's memory). With ``beam_ancestry``,
+        an identity ancestor map (B, rows, T_max) is carried so the beam
+        search can reorder beams WITHOUT rewriting the K/V cache."""
         memory = memory_pytree["memory"]
         b = memory.shape[0]
+        rows = b * int(rows_per_image)
         t_max = int(max_steps or (self.max_seq_length + 1))
         dk = self.d_model // self.num_heads
         layers, cross = [], []
@@ -251,28 +267,46 @@ class Transformer(nn.Module):
             ck, cv = self.decoder_layers[i].project_memory_kv(memory)
             layers.append(
                 {
-                    "self_k": jnp.zeros((b, self.num_heads, t_max, dk), ck.dtype),
-                    "self_v": jnp.zeros((b, self.num_heads, t_max, dk), ck.dtype),
+                    "self_k": jnp.zeros((rows, self.num_heads, t_max, dk), ck.dtype),
+                    "self_v": jnp.zeros((rows, self.num_heads, t_max, dk), ck.dtype),
                 }
             )
             cross.append({"cross_k": ck, "cross_v": cv})
         # "static": beam-invariant per image -> exempt from beam reorder
-        return {"layers": layers, "static": {"cross": cross}}
+        cache = {"layers": layers, "static": {"cross": cross}}
+        if beam_ancestry:
+            cache["ancestry"] = jnp.tile(jnp.arange(rows_per_image, dtype=jnp.int32)[None, :, None],
+                                         (b, 1, t_max))
+        return cache
 
     def decode_step(self, it, cache: Dict[str, Any], t, memory_pytree: Dict[str, Any], train: bool = False):
-        """it: (B,) current tokens; t: scalar index. Returns (logprobs (B, V), cache)."""
+        """it: (N,) current tokens; t: scalar index. Returns (logprobs (N, V), cache)."""
         mem_mask = memory_pytree["mask"][:, None, None, :]
-        x = self.tgt_embed(it[:, None], train)  # (B, 1, D)
+        x = self.tgt_embed(it[:, None], train)  # (N, 1, D)
         x = self.pos_enc(x, t=t, train=train)
+        ancestry = cache.get("ancestry")
+        a_onehot = None
+        if ancestry is not None:
+            # slot t is written by each row itself this step -> identity
+            k = ancestry.shape[1]
+            ident = jnp.tile(jnp.arange(k, dtype=ancestry.dtype)[None, :], (ancestry.shape[0], 1))
+            ancestry = jax.lax.dynamic_update_index_in_dim(
+                ancestry.transpose(2, 0, 1), ident, t, axis=0
+            ).transpose(1, 2, 0)
+            a_onehot = jax.nn.one_hot(ancestry, k, dtype=x.dtype)  # (B, K, T_max, K)
         new_layers = []
         for j, i in enumerate(self.dec_plan):
             x, lc = self.decoder_layers[i].step(
-                x, dict(cache["layers"][j]), cache["static"]["cross"][j], t, mem_mask, train
+                x, dict(cache["layers"][j]), cache["static"]["cross"][j], t, mem_mask, train,
+                ancestry_onehot=a_onehot,
             )
             new_layers.append(lc)
         x = self.decoder_norm(x)
         logprobs = self.generator(x[:, 0], train)
-        return logprobs, {"layers": new_layers, "static": cache["static"]}
+        new_cache = {"layers": new_layers, "static": cache["static"]}
+        if ancestry is not None:
+            new_cache["ancestry"] = ancestry
+        return logprobs, new_cache
 
     @staticmethod
     def add_argparse_args(parser) -> None:
