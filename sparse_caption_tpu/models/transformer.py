@@ -115,35 +115,11 @@ class DecoderLayer(nn.Module):
             lambda y: self.src_attn.decode_cross(y, cross["cross_k"], cross["cross_v"], mem_mask, train),
             train,
         )
-        if self.mask_cfg is None and not train and _use_pallas_decode():
-            # fused ln+FFN+residual kernel (decode steps are op-overhead-bound)
-            from sparse_caption_tpu.ops.pallas_decode import ffn_block_step
-
-            ffn_p = self.feed_forward.variables["params"]
-            norm_p = self.sub2.variables["params"]["norm"]
-            y = ffn_block_step(
-                x_t[:, 0], norm_p["scale"], norm_p["bias"],
-                ffn_p["w_1"]["kernel"], ffn_p["w_1"]["bias"],
-                ffn_p["w_2"]["kernel"], ffn_p["w_2"]["bias"],
-            )
-            x_t = y[:, None]
-        else:
-            x_t = self.sub2(x_t, lambda y: self.feed_forward(y, train), train)
+        # note: a Pallas fused ln+FFN kernel for this block was A/B'd twice
+        # (round 1: 485.9 vs 485.6 c/s; round 2 @ batch 256: 3214 vs 3203)
+        # and never beat XLA's own fusion at these sizes, so it was removed
+        x_t = self.sub2(x_t, lambda y: self.feed_forward(y, train), train)
         return x_t, layer_cache
-
-
-def _use_pallas_decode() -> bool:
-    """Fused decode-block kernels (default ON for TPU; disable with
-    SPARSE_CAPTION_PALLAS_DECODE=0). Exactness covered by the CPU
-    interpret-mode parity tests."""
-    import os
-
-    import jax
-
-    # default off: A/B at paper scale showed no gain over XLA's own FFN
-    # fusion (485.9 vs 485.6 captions/sec); kept for larger-model regimes
-    flag = os.environ.get("SPARSE_CAPTION_PALLAS_DECODE", "0") == "1"
-    return flag and jax.default_backend() == "tpu"
 
 
 def subsequent_mask(t: int):
