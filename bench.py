@@ -199,28 +199,37 @@ def bench_scst_step(jax, jnp, tmp_dir="/tmp/sc_bench"):
     scorer_cls = native_scst.NativeCaptionScorer if native_scst.is_available() else CaptionScorer
     scorer = scorer_cls(df_path[:-2], cider_weight=1.0, bleu_weight=[0, 0, 0, 0])
 
-    sample_opt = {"num_random_sample": n_samples, "beam_size": 0, "max_seq_length": t, "temperature": 1.0}
+    # same semantics as the engine's two-phase step (engine/training.py
+    # make_scst_step): train-mode sampling policy; the grad pass recomputes
+    # the identical decode differentiably so gradients attach to the true
+    # sampling-pass logprobs
+    sample_opt = {"num_random_sample": n_samples, "beam_size": 0, "max_seq_length": t,
+                  "temperature": 1.0, "decode_train": True}
     greedy_opt = {"beam_size": 1, "max_seq_length": t}
+
+    def train_sample(params, rng, differentiable):
+        v = {"params": params}
+        kd, km, kdec = jax.random.split(rng, 3)
+        memory = model.apply(v, att, amask, boxes, train=True, rngs={"dropout": kd, "mask": km},
+                             method="encode")
+        opt_d = dict(sample_opt, differentiable=True) if differentiable else sample_opt
+        return generate(model, v, memory, opt_d, rng=kdec)
 
     @jax.jit
     def sample_fn(params, rng):
         v = {"params": params}
-        memory = model.apply(v, att, amask, boxes, method="encode")
-        return {"sample": generate(model, v, memory, sample_opt, rng=rng)[0],
-                "greedy": generate(model, v, memory, greedy_opt)[0]}
+        memory_ev = model.apply(v, att, amask, boxes, method="encode")
+        return {"sample": train_sample(params, rng, False)[0],
+                "greedy": generate(model, v, memory_ev, greedy_opt)[0]}
 
     @jax.jit
     def grad_fn(state, sample_seq, rewards, rng):
         flat = sample_seq.reshape(b * n_samples, t)
-        bos = jnp.full((b * n_samples, 1), model.bos_id, dtype=flat.dtype)
-        seqs_in = jnp.concatenate([bos, flat], axis=1)
 
         def loss_fn(params):
-            lp = model.apply({"params": params}, att, amask, seqs_in, boxes=boxes, train=True,
-                             rngs={"dropout": rng})
-            chosen = jnp.take_along_axis(lp, flat[..., None].astype(jnp.int32), axis=2)[..., 0]
-            mask = (flat != model.pad_id).astype(lp.dtype)
-            return losses_mod.reward_loss(chosen, mask, rewards)
+            _, seq_lp = train_sample(params, rng, True)
+            mask = (flat != model.pad_id).astype(seq_lp.dtype)
+            return losses_mod.reward_loss(seq_lp.reshape(b * n_samples, t), mask, rewards)
 
         loss, gw = jax.value_and_grad(loss_fn)(state["params"])
         uw, ow = opt_w.update(gw, state["ow"], state["params"])
@@ -229,7 +238,7 @@ def bench_scst_step(jax, jnp, tmp_dir="/tmp/sc_bench"):
         return {"params": _o.apply_updates(state["params"], uw), "ow": ow}, loss
 
     def scst_step(state, key):
-        k1, k2 = jax.random.split(key)
+        k1, _ = jax.random.split(key)
         res = jax.device_get(sample_fn(state["params"], k1))
         sample_np, greedy_np = res["sample"], res["greedy"]
         sample_dec = [[words(sample_np[i, j][sample_np[i, j] > 3]) for j in range(n_samples)]
@@ -237,7 +246,7 @@ def bench_scst_step(jax, jnp, tmp_dir="/tmp/sc_bench"):
         base_dec = [[words(greedy_np[i, 0][greedy_np[i, 0] > 3])] for i in range(b)]
         sc_s, sc_b = scorer(refs=gts, sample=sample_dec, baseline=base_dec)
         rewards = jnp.asarray(sc_s - sc_b, jnp.float32)
-        return grad_fn(state, jnp.asarray(sample_np), rewards, k2)
+        return grad_fn(state, jnp.asarray(sample_np), rewards, k1)
 
     key = jax.random.PRNGKey(4)
     t0 = time.perf_counter()

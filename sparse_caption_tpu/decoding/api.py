@@ -46,11 +46,25 @@ def generate(
     temperature = float(opt.get("temperature", 1.0))
     decoding_constraint = int(opt.get("decoding_constraint", 0))
     max_len = int(opt.get("max_seq_length", model.max_seq_length))
+    decode_train = bool(opt.get("decode_train", False))
 
     b = batch_size if batch_size is not None else jax.tree.leaves(memory)[0].shape[0]
 
+    step_key = init_key = None
+    if decode_train:
+        # train-mode decode (SCST sampling policy, reference model.train() +
+        # _sample, utils/training.py:225-237): per-step dropout + supermask
+        # Bernoulli rngs, folded by t so a re-run with the same `rng`
+        # reproduces the identical policy realization
+        assert rng is not None, "decode_train requires an rng"
+        rng, step_key, init_key = jax.random.split(rng, 3)
+
     def make_step(mem):
         def step_fn(it, cache, t):
+            if step_key is not None:
+                kd, km = jax.random.split(jax.random.fold_in(step_key, t))
+                return model.apply(variables, it, cache, t, mem, True,
+                                   method="decode_step", rngs={"dropout": kd, "mask": km})
             return model.apply(variables, it, cache, t, mem, method="decode_step")
 
         return step_fn
@@ -60,12 +74,16 @@ def generate(
     def grouped_cache(rows_per_image: int, beam_ancestry: bool = False):
         """Cache + step memory for models that read one cross-K/V row per
         image (no memory repeat); falls back to physical repeat otherwise."""
+        # train-mode decode also Bernoulli-samples the cached cross-K/V
+        # projection masks once (the reference projects them on the first
+        # train-mode step and caches, transformer.py:255-256)
+        kw = dict(train=True, rngs={"mask": init_key}) if decode_train else {}
         if grouped:
             cache = model.apply(variables, memory, max_len + 1, rows_per_image, beam_ancestry,
-                                method="init_cache")
+                                method="init_cache", **kw)
             return cache, memory
         mem = _repeat_pytree(memory, rows_per_image)
-        return model.apply(variables, mem, max_len + 1, method="init_cache"), mem
+        return model.apply(variables, mem, max_len + 1, method="init_cache", **kw), mem
 
     if num_random_sample > 0:
         assert beam_size < 1, f"beam_size must be < 1 for random sampling, got {beam_size}"

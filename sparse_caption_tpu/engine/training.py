@@ -8,10 +8,12 @@ plus the train loops in ``scripts/train_transformer.py:20-133`` and
   (config.json, model_params.json, checkpoint files, restore_log.txt)
 * jitted XE step (masked NLL or label smoothing) with optional supermask
   sparsity loss; separate weight/mask optimizer groups
-* SCST: device sampling pass (random or beam) -> host CIDEr-D/BLEU rewards
-  -> device REINFORCE step that re-scores the sampled sequences with
-  teacher forcing (same mask rng => identical supermask sample; dropout
-  redraw documented as the one delta vs the reference's captured logprobs)
+* SCST: device sampling pass under the train-mode policy (random or beam)
+  -> host CIDEr-D/BLEU rewards -> device REINFORCE step that RECOMPUTES the
+  identical sampling decode differentiably (same rng => same dropout +
+  supermask realization, same tokens) so gradients attach to the true
+  sampling-pass logprobs — the reference's captured-logprob semantics
+  (utils/training.py:225-254) via whole-decode rematerialization
 * eval_on_split: jitted batched decode, prediction JSON, metric scores,
   score JSON/CSV, best-checkpoint tracking on CIDEr
 * pruning hooks: SNIP saliency pre-pass, one-shot/lottery, gradual
@@ -330,6 +332,19 @@ class TrainingModule:
 
     # ---------------------------------------------------------------- SCST
     def make_scst_step(self):
+        """Two-phase SCST step with reference-exact gradient semantics.
+
+        Phase 1 (no grad): sampling decode under a TRAIN-mode policy —
+        dropout active, per-step supermask Bernoulli draws — exactly the
+        reference's ``model.train()`` sampling (utils/training.py:225-237);
+        optional eval-mode greedy baseline. Phase 2: the jitted grad step
+        RE-RUNS the identical decode (same rng, so the same dropout/mask
+        realization and the same tokens, bit for bit) as a differentiable
+        scan and attaches the REINFORCE loss to its per-step logprobs. The
+        recompute is the whole-decode analogue of gradient checkpointing:
+        gradients flow through the true sampling-pass logprobs, matching
+        the reference's captured-logprob semantics without host callbacks.
+        """
         config = self.config
         model = self.model
         opt_w, opt_m = self.opt_w, self.opt_m
@@ -340,41 +355,50 @@ class TrainingModule:
         max_len = int(config.get("max_seq_length", 18)) - 1
 
         if sample_mode == "beam_search":
-            sample_opt = {"beam_size": num_samples, "max_seq_length": max_len}
+            sample_opt = {"beam_size": num_samples, "max_seq_length": max_len, "decode_train": True}
         else:
             sample_opt = {"num_random_sample": num_samples, "beam_size": 0, "max_seq_length": max_len,
-                          "temperature": float(config.get("scst_temperature", 1.0))}
+                          "temperature": float(config.get("scst_temperature", 1.0)),
+                          "decode_train": True}
         greedy_opt = {"beam_size": 1, "max_seq_length": max_len}
+
+        def _train_sample(variables, enc_kwargs, rng, differentiable: bool = False):
+            """Train-mode encode + sampling decode; shared by both phases so
+            one rng reproduces the identical realization. The grad pass sets
+            ``differentiable`` (fixed-length scan — reverse AD cannot cross
+            the early-exit lax.while_loop; same tokens either way)."""
+            k_enc_drop, k_enc_mask, k_dec = jax.random.split(rng, 3)
+            memory = model.apply(variables, **enc_kwargs, train=True,
+                                 rngs={"dropout": k_enc_drop, "mask": k_enc_mask}, method="encode")
+            opt_d = dict(sample_opt, differentiable=True) if differentiable else sample_opt
+            return generate(model, variables, memory, opt_d, rng=k_dec)
 
         @jax.jit
         def sample_fn(variables, inputs, rng):
             enc_kwargs = {k: v for k, v in inputs.items() if k != "seqs"}
-            memory = model.apply(variables, **enc_kwargs, method="encode")
-            sample_seq, _ = generate(model, variables, memory, sample_opt, rng=rng)
+            sample_seq, _ = _train_sample(variables, enc_kwargs, rng)
             out = {"sample": sample_seq}
             if baseline_mode == "greedy":
-                out["greedy"] = generate(model, variables, memory, greedy_opt)[0]
+                # baseline decodes in eval mode under no grad (reference
+                # training.py:216-221)
+                memory_ev = model.apply(variables, **enc_kwargs, method="encode")
+                out["greedy"] = generate(model, variables, memory_ev, greedy_opt)[0]
             return out
 
         @jax.jit
         def grad_fn(state: TrainState, inputs, sample_seq, rewards, rng):
-            """Teacher-force the sampled sequences, REINFORCE update."""
-            k_drop, k_mask = jax.random.split(rng)
+            """Recompute the sampling decode differentiably, REINFORCE update."""
+            enc_kwargs = {k: v for k, v in inputs.items() if k != "seqs"}
             b, s, t = sample_seq.shape
-            flat = sample_seq.reshape(b * s, t)
-            bos = jnp.full((b * s, 1), model.bos_id, dtype=flat.dtype)
-            seqs_in = jnp.concatenate([bos, flat], axis=1)  # (B*S, T+1)
-            tf_inputs = {k: v for k, v in inputs.items() if k != "seqs"}
+            flat = jax.lax.stop_gradient(sample_seq).reshape(b * s, t)
 
             def loss_fn(params, masks):
                 variables = {"params": params}
                 if masks:
                     variables["masks"] = masks
-                lp = model.apply(variables, **tf_inputs, seqs=seqs_in, train=True,
-                                 rngs={"dropout": k_drop, "mask": k_mask})
-                chosen = jnp.take_along_axis(lp, flat[..., None].astype(jnp.int32), axis=2)[..., 0]
-                mask = (flat != model.pad_id).astype(lp.dtype)
-                return losses_mod.reward_loss(chosen, mask, rewards)
+                _, seq_lp = _train_sample(variables, enc_kwargs, rng, differentiable=True)
+                mask = (flat != model.pad_id).astype(seq_lp.dtype)
+                return losses_mod.reward_loss(seq_lp.reshape(b * s, t), mask, rewards)
 
             loss, grads = jax.value_and_grad(loss_fn, argnums=(0, 1))(state.params, state.masks)
             gw, gm = grads
@@ -387,7 +411,7 @@ class TrainingModule:
 
         def scst_step(state: TrainState, batch, rng):
             inputs = self._model_inputs(batch, with_seqs=False)
-            k_sample, k_grad = jax.random.split(rng)
+            k_sample, _ = jax.random.split(rng)
             res = sample_fn(self._variables(state), inputs, k_sample)
             sample_seq = res["sample"]  # (B, S, T)
             # one batched device->host transfer (round trips are expensive on
@@ -404,7 +428,8 @@ class TrainingModule:
             sc_sample, sc_baseline = self.scst_scorer(refs=batch["gts"], sample=sample_decoded,
                                                       baseline=baseline_decoded)
             rewards = jnp.asarray(sc_sample - sc_baseline, dtype=jnp.float32)
-            state, loss = grad_fn(state, inputs, sample_seq, rewards, k_grad)
+            # same k_sample as phase 1 -> identical policy realization
+            state, loss = grad_fn(state, inputs, sample_seq, rewards, k_sample)
             return state, loss, {"avg_reward": float(np.mean(sc_sample - sc_baseline)),
                                  "avg_sample": float(np.mean(sc_sample)),
                                  "avg_baseline": float(np.mean(sc_baseline))}
@@ -417,8 +442,9 @@ class TrainingModule:
         back through ``io_callback`` — gradients attach to the *sampling*
         logprobs themselves (exactly the reference's semantics,
         utils/training.py:225-254) with no host round-trip between device
-        programs.  The decode runs in eval mode (deterministic policy ==
-        scored policy; the reference samples under train-mode dropout).
+        programs.  The sampling decode runs under the train-mode policy
+        (dropout + per-step supermask draws), matching the reference and
+        the default two-phase step's recompute semantics.
         """
         config = self.config
         model = self.model
@@ -429,10 +455,11 @@ class TrainingModule:
         assert sample_mode in self.SCST_SAMPLE and baseline_mode in self.SCST_BASELINE
         max_len = int(config.get("max_seq_length", 18)) - 1
         if sample_mode == "beam_search":
-            sample_opt = {"beam_size": num_samples, "max_seq_length": max_len}
+            sample_opt = {"beam_size": num_samples, "max_seq_length": max_len, "decode_train": True}
         else:
             sample_opt = {"num_random_sample": num_samples, "beam_size": 0, "max_seq_length": max_len,
                           "temperature": float(config.get("scst_temperature", 1.0)),
+                          "decode_train": True,
                           "differentiable": True}  # grads flow through the sampling decode
         greedy_opt = {"beam_size": 1, "max_seq_length": max_len}
 
@@ -477,12 +504,17 @@ class TrainingModule:
                 variables = {"params": params}
                 if masks:
                     variables["masks"] = masks
-                memory = model.apply(variables, **enc_kwargs, method="encode")
-                seq, seq_lp = generate(model, variables, memory, sample_opt, rng=rng)
+                k_enc_drop, k_enc_mask, k_dec = jax.random.split(rng, 3)
+                # train-mode sampling policy (reference model.train() before
+                # the sampling decode, utils/training.py:225-237)
+                memory = model.apply(variables, **enc_kwargs, train=True,
+                                     rngs={"dropout": k_enc_drop, "mask": k_enc_mask}, method="encode")
+                seq, seq_lp = generate(model, variables, memory, sample_opt, rng=k_dec)
                 ids = jax.lax.stop_gradient(seq)
                 if baseline_mode == "greedy":
+                    memory_ev = model.apply(variables, **enc_kwargs, method="encode")
                     greedy_ids = jax.lax.stop_gradient(
-                        generate(model, variables, memory, greedy_opt)[0]
+                        generate(model, variables, memory_ev, greedy_opt)[0]
                     )
                 else:
                     greedy_ids = jnp.zeros((ids.shape[0], 1, ids.shape[2]), jnp.int32)

@@ -95,8 +95,8 @@ class DecoderLayer(nn.Module):
         return self.sub2(x, lambda y: self.feed_forward(y, train), train)
 
     # ------------------------------------------------------------- decode
-    def project_memory_kv(self, memory):
-        return self.src_attn.project_memory_kv(memory)
+    def project_memory_kv(self, memory, train: bool = False):
+        return self.src_attn.project_memory_kv(memory, train)
 
     def step(self, x_t, layer_cache: Dict, cross: Dict, t, mem_mask, train: bool = False,
              ancestry_onehot=None):
@@ -225,7 +225,8 @@ class Transformer(nn.Module):
     SUPPORTS_GROUPED_DECODE = True
 
     def init_cache(self, memory_pytree: Dict[str, Any], max_steps: Optional[int] = None,
-                   rows_per_image: int = 1, beam_ancestry: bool = False) -> Dict[str, Any]:
+                   rows_per_image: int = 1, beam_ancestry: bool = False,
+                   train: bool = False) -> Dict[str, Any]:
         """Build the static-shape decode cache.
 
         Self-attention K/V zeros live at ``B * rows_per_image`` rows; the
@@ -240,7 +241,7 @@ class Transformer(nn.Module):
         dk = self.d_model // self.num_heads
         layers, cross = [], []
         for i in self.dec_plan:
-            ck, cv = self.decoder_layers[i].project_memory_kv(memory)
+            ck, cv = self.decoder_layers[i].project_memory_kv(memory, train)
             layers.append(
                 {
                     "self_k": jnp.zeros((rows, self.num_heads, t_max, dk), ck.dtype),

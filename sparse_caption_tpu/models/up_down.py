@@ -180,8 +180,9 @@ class UpDownModel(nn.Module):
         return jnp.stack(outs, axis=1)
 
     # ------------------------------------------------------------- decode
-    def init_cache(self, memory_pytree: Dict[str, Any], max_steps: Optional[int] = None) -> Dict[str, Any]:
-        del max_steps
+    def init_cache(self, memory_pytree: Dict[str, Any], max_steps: Optional[int] = None,
+                   train: bool = False) -> Dict[str, Any]:
+        del max_steps, train  # no cached projections -> nothing to sample
         b = memory_pytree["fc"].shape[0]
         z = jnp.zeros((b, self.rnn_size), memory_pytree["fc"].dtype)
         return {"h_att": z, "c_att": z, "h_lang": z, "c_lang": z}
