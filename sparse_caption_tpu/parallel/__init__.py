@@ -1,5 +1,6 @@
 from sparse_caption_tpu.parallel.mesh import (  # noqa: F401
     make_mesh,
+    opt_state_sharding,
     param_sharding,
     shard_batch,
     shard_state,

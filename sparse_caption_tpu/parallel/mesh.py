@@ -93,19 +93,38 @@ def param_sharding(params: Any, mesh: Mesh) -> Any:
     return jax.tree_util.tree_unflatten(treedef, flat_specs)
 
 
-def shard_state(state: Any, mesh: Mesh) -> Any:
-    """Device-put a TrainState: params under TP shardings; masks, optimizer
-    moments and counters replicated.
+def opt_state_sharding(opt_state: Any, params: Any, mesh: Mesh) -> Any:
+    """Sharding pytree for an optax state, structure-matched to the params:
+    any sub-tree with the params' exact tree structure (adam mu/nu, etc.)
+    gets the params' TP shardings; scalars/counters are replicated."""
+    p_shard = param_sharding(params, mesh)
+    p_def = jax.tree_util.tree_structure(params)
+    repl = NamedSharding(mesh, P())
 
-    (Optimizer moments mirroring sharded params get resharded lazily by XLA
-    on first use; a structure-matched moment sharding is a later perf
-    refinement — dryrun/bench correctness does not depend on it.)
-    """
+    def is_param_tree(node) -> bool:
+        try:
+            return jax.tree_util.tree_structure(node) == p_def
+        except Exception:
+            return False
+
+    return jax.tree_util.tree_map(
+        lambda node: p_shard if is_param_tree(node) else jax.tree.map(lambda _: repl, node),
+        opt_state,
+        is_leaf=is_param_tree,
+    )
+
+
+def shard_state(state: Any, mesh: Mesh) -> Any:
+    """Device-put a TrainState: params under TP shardings; optimizer moments
+    structure-matched to their params (mu/nu shard with the kernel they
+    track); masks and counters replicated."""
     p_shard = param_sharding(state.params, mesh)
     repl = NamedSharding(mesh, P())
-    params = jax.tree.map(jax.device_put, state.params, p_shard)
-    new = state.replace(params=params)
-    for field in ("masks", "opt_w", "opt_m", "step"):
+    new = state.replace(params=jax.tree.map(jax.device_put, state.params, p_shard))
+    if hasattr(new, "opt_w"):
+        ow_shard = opt_state_sharding(new.opt_w, state.params, mesh)
+        new = new.replace(opt_w=jax.tree.map(jax.device_put, new.opt_w, ow_shard))
+    for field in ("masks", "opt_m", "step"):
         if hasattr(new, field):
             new = new.replace(**{field: jax.tree.map(lambda x: jax.device_put(x, repl), getattr(new, field))})
     return new

@@ -48,6 +48,87 @@ def test_param_tp_specs():
     assert specs["encoder_norm/scale"] == P()
 
 
+def test_opt_state_sharding_structure_matched():
+    """Adam mu/nu shard exactly like the params they track; counters replicated."""
+    import optax
+
+    from sparse_caption_tpu.models.transformer import Transformer
+    from sparse_caption_tpu.parallel import opt_state_sharding
+
+    mesh = make_mesh("4,2")
+    m = Transformer(vocab_size=16, d_model=8, dim_feedforward=16, num_layers=1,
+                    num_heads=2, att_feat_size=4, max_seq_length=5)
+    params = m.init({"params": jax.random.PRNGKey(0)}, jnp.ones((2, 3, 4)), jnp.ones((2, 3)),
+                    jnp.ones((2, 5), jnp.int32))["params"]
+    opt = optax.chain(optax.clip(0.1), optax.adam(1e-3))
+    st = opt.init(params)
+    sh = opt_state_sharding(st, params, mesh)
+    shardings = param_sharding(params, mesh)
+    # adam = chain(scale_by_adam, scale): its ScaleByAdamState is sh[1][0];
+    # mu/nu must equal the param shardings leaf-for-leaf
+    adam = sh[1][0]
+    assert jax.tree_util.tree_structure(adam.mu) == jax.tree_util.tree_structure(shardings)
+    for a, b in zip(jax.tree.leaves(adam.mu), jax.tree.leaves(shardings)):
+        assert a.spec == b.spec
+    for a, b in zip(jax.tree.leaves(adam.nu), jax.tree.leaves(shardings)):
+        assert a.spec == b.spec
+    assert adam.count.spec == P()
+
+
+def _built_module(fixture_dataset, log_dir, mesh_shape, extra=()):
+    import sys, os
+
+    sys.path.insert(0, os.path.dirname(__file__))
+    from test_train import TINY_TRANSFORMER, tiny_args
+
+    from sparse_caption_tpu.config import Config
+    from sparse_caption_tpu.engine.training import TrainingModule
+    from sparse_caption_tpu.opts import parse_opt
+
+    argv = tiny_args(fixture_dataset, log_dir, "transformer", TINY_TRANSFORMER) + list(extra)
+    argv += ["--batch_size", "2"]
+    if mesh_shape:
+        argv += ["--mesh_shape", mesh_shape]
+    args = parse_opt(argv)
+    m = TrainingModule(Config(**vars(args)))
+    m.prepare()
+    m.init_state()
+    return m
+
+
+def test_beam_decode_matches_single_device(fixture_dataset, tmp_path):
+    """Beam-5 decode (ancestry reorder + TP attention heads) under a dp x tp
+    mesh emits the same tokens as one device."""
+    m1 = _built_module(fixture_dataset, tmp_path / "single", None)
+    m2 = _built_module(fixture_dataset, tmp_path / "mesh", "2,2")
+    batch = next(iter(m1.val_loader))
+    opt = {"beam_size": 5}
+    d1 = m1.make_decode_fn(opt)
+    d2 = m2.make_decode_fn(opt)
+    seq1, _ = d1(m1._variables(m1.state), m1._model_inputs(batch, with_seqs=False), jax.random.PRNGKey(0))
+    with m2.mesh:
+        seq2, _ = d2(m2._variables(m2.state), m2._model_inputs(batch, with_seqs=False), jax.random.PRNGKey(0))
+    np.testing.assert_array_equal(np.asarray(seq1), np.asarray(seq2))
+
+
+def test_scst_step_matches_single_device(fixture_dataset, tmp_path):
+    """The two-phase SCST step (train-mode sampling + recompute grads) under
+    a dp mesh produces the same update as one device."""
+    extra = ["--scst_start_epoch", "0", "--scst_num_samples", "3",
+             "--scst_sample", "random", "--scst_baseline", "sample"]
+    m1 = _built_module(fixture_dataset, tmp_path / "single", None, extra)
+    m2 = _built_module(fixture_dataset, tmp_path / "mesh", "2,1", extra)
+    s1_fn, s2_fn = m1.make_scst_step(), m2.make_scst_step()
+    batch = next(iter(m1.train_loader))
+    rng = jax.random.PRNGKey(3)
+    s1, loss1, aux1 = s1_fn(m1.state, batch, rng)
+    s2, loss2, aux2 = s2_fn(m2.state, batch, rng)
+    np.testing.assert_allclose(float(loss1), float(loss2), atol=1e-5)
+    np.testing.assert_allclose(aux1["avg_reward"], aux2["avg_reward"], atol=1e-6)
+    d = jax.tree.map(lambda a, b: float(jnp.max(jnp.abs(a - b))), s1.params, s2.params)
+    assert max(jax.tree.leaves(d)) < 1e-5
+
+
 def test_dp_step_matches_single_device(fixture_dataset, tmp_path):
     """One XE step on an 8-way dp mesh == the same step on one device."""
     import sys, os
