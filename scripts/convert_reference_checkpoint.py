@@ -1,16 +1,25 @@
 #!/usr/bin/env python
-"""Convert a reference PyTorch `.pth` checkpoint (jiahuei/sparse-image-captioning,
-incl. the published sparse-captioning-checkpoints) into this framework's
-msgpack format.
+"""Convert a reference (jiahuei/sparse-image-captioning) checkpoint into this
+framework's format.
 
+Handles the three published artifact flavors (reference ``README.md:67-69``,
+``pruning/prune.py:176-226``):
+* dense ``model_best.pth`` / ``model_best_pruned.pth``
+* sparse-COO ``model_best_pruned_sparse.pth`` (densified on load)
+* ``model_best_bin_mask.pth`` (masks kept, converted to the masks collection)
+
+Optionally imports the run's SentencePiece vocabulary (``--spm_model``) so
+token ids keep the reference ordering — required for the embedding/generator
+rows to line up.
+
+Usage:
     python scripts/convert_reference_checkpoint.py \
-        --pth model_best.pth --model_type relation_transformer \
-        --out model_best_converted.msgpack [--share_att_decoder kv ...]
-
-Sparse (torch COO) checkpoints are densified on load (reference
-utils/model_utils.py:110-118).  Cross-framework forward parity of the
-conversion is covered by tests/test_torch_parity.py (<1e-4 on logprobs).
+        --ckpt model_best_pruned_sparse.pth --model_type relation_transformer \
+        --out run_dir/model_best.msgpack [--spm_model tokenizer/word.model \
+        --tokenizer_out run_dir/tokenizer] [--share_att_encoder kv ...]
 """
+
+from __future__ import annotations
 
 import argparse
 import sys
@@ -19,31 +28,61 @@ from pathlib import Path
 sys.path.insert(0, str(Path(__file__).resolve().parent.parent))
 
 
-def main():
-    p = argparse.ArgumentParser(description=__doc__)
-    p.add_argument("--pth", required=True)
-    p.add_argument("--out", required=True)
+def parse_args():
+    p = argparse.ArgumentParser(formatter_class=argparse.ArgumentDefaultsHelpFormatter)
+    p.add_argument("--ckpt", required=True, help="reference .pth checkpoint (dense or sparse-COO)")
     p.add_argument("--model_type", required=True,
-                   choices=["transformer", "relation_transformer", "up_down_lstm"])
-    p.add_argument("--num_heads", type=int, default=8)
-    p.add_argument("--share_att_encoder", type=str, default=None)
-    p.add_argument("--share_att_decoder", type=str, default=None)
-    args = p.parse_args()
+                   help="transformer | relation_transformer | up_down_lstm (a `_prune` suffix is stripped)")
+    p.add_argument("--out", required=True, help="output .msgpack path")
+    p.add_argument("--share_att_encoder", default=None, choices=[None, "kv", "qk"])
+    p.add_argument("--share_att_decoder", default=None, choices=[None, "kv", "qk"])
+    p.add_argument("--spm_model", default=None,
+                   help="reference SentencePiece .model file; imports the vocab ordering")
+    p.add_argument("--tokenizer_out", default=None,
+                   help="directory for the imported word-tokenizer artifact (default: <out dir>/tokenizer)")
+    return p.parse_args()
 
+
+def main():
+    args = parse_args()
     import torch
 
     from sparse_caption_tpu.engine.checkpoints import save_pytree
-    from sparse_caption_tpu.utils.convert_torch import convert_state_dict
+    from sparse_caption_tpu.utils.convert_torch import convert_state_dict, densify_torch_state_dict
 
-    state_dict = torch.load(args.pth, map_location="cpu")
-    state_dict = {k: (v.to_dense() if getattr(v, "is_sparse", False) else v) for k, v in state_dict.items()}
+    model_type = args.model_type
+    if model_type.endswith("_prune"):
+        model_type = model_type[: -len("_prune")]
+
+    state_dict = torch.load(args.ckpt, map_location="cpu", weights_only=False)
+    state_dict = densify_torch_state_dict(state_dict)
     params, masks = convert_state_dict(
-        state_dict, args.model_type, num_heads=args.num_heads,
+        state_dict, model_type,
         share_att_encoder=args.share_att_encoder, share_att_decoder=args.share_att_decoder,
     )
-    save_pytree(args.out, {"params": params, "masks": masks})
-    n = sum(x.size for x in __import__("jax").tree.leaves(params))
-    print(f"converted {len(state_dict)} tensors ({n:,d} params) -> {args.out}")
+    out = Path(args.out)
+    out.parent.mkdir(parents=True, exist_ok=True)
+    save_pytree(str(out), {"params": params, "masks": masks})
+    n = sum(x.size for x in _leaves(params))
+    print(f"converted {len(state_dict)} tensors -> {out} ({n:,d} params, masks={'yes' if masks else 'no'})")
+
+    if args.spm_model:
+        from sparse_caption_tpu.tokenizers.spm_import import (
+            parse_sentencepiece_model,
+            pieces_to_word_vocab,
+            write_word_vocab_artifact,
+        )
+
+        vocab = pieces_to_word_vocab(parse_sentencepiece_model(args.spm_model))
+        tok_dir = args.tokenizer_out or str(out.parent / "tokenizer")
+        path = write_word_vocab_artifact(vocab, tok_dir)
+        print(f"imported SentencePiece vocab ({len(vocab)} pieces, reference id order) -> {path}")
+
+
+def _leaves(tree):
+    import jax
+
+    return jax.tree.leaves(tree)
 
 
 if __name__ == "__main__":

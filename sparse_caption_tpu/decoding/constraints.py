@@ -20,15 +20,21 @@ BAD_ENDINGS = [
 def bad_ending_ids(tokenizer) -> List[int]:
     """Token ids of the bad-ending words under the given tokenizer.
 
-    For the radix tokenizer each word maps to a digit sequence; suppression
-    acts on the word's final digit (the token after which EOS could appear).
+    Sub-word/radix tokenizers get NO suppression: a radix word is a digit
+    sequence and matching only its final digit would also suppress EOS after
+    every unrelated word sharing that digit (broad over-suppression at radix
+    vocab scale). Exact trailing-sequence matching would need multi-token
+    state the reference doesn't model either — so the flag is a no-op there.
     """
+    import logging
+
     ids: List[int] = []
     for w in BAD_ENDINGS:
         tid = tokenizer.token_to_id(w)
-        if isinstance(tid, list):  # radix: use the last digit of the word code
-            if tid:
-                ids.append(int(tid[-1]))
-        elif tid != tokenizer.unk_token_id:
+        if isinstance(tid, list):  # radix: word = digit sequence
+            logging.getLogger(__name__).warning(
+                "remove_bad_endings is a no-op for multi-token-per-word tokenizers (radix)")
+            return []
+        if tid != tokenizer.unk_token_id:
             ids.append(int(tid))
     return sorted(set(ids))

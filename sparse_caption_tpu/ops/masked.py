@@ -143,8 +143,3 @@ class MaskedEmbed(_Prunable):
         table = self.param("embedding", self.embedding_init, (self.num_embeddings, self.features))
         table = self._masked(table, self.mask_cfg, train)
         return jnp.take(table, ids, axis=0)
-
-    def attend(self, query):
-        """Logits against the (unmasked) table — for tied output embeddings."""
-        table = self.get_variable("params", "embedding")
-        return jnp.dot(query, table.T)

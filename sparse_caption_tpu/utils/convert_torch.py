@@ -142,6 +142,18 @@ def _convert_name(name: str, model_type: str, share_att_encoder=None, share_att_
     return None
 
 
+def densify_torch_state_dict(state_dict: Dict) -> Dict:
+    """Densify torch sparse-COO tensors (the reference's published sparse
+    checkpoints, ``pruning/prune.py:200-221`` state_dict_sparse /
+    ``model_utils.py:108-116`` densify_state_dict)."""
+    out = {}
+    for k, v in state_dict.items():
+        if hasattr(v, "is_sparse") and v.is_sparse:
+            v = v.to_dense()
+        out[k] = v
+    return out
+
+
 def convert_state_dict(
     state_dict: Dict[str, "np.ndarray"],
     model_type: str,
