@@ -22,20 +22,31 @@ from typing import Dict, List
 PUNCTUATIONS = frozenset(
     ["''", "'", "``", "`", "-LRB-", "-RRB-", "-LCB-", "-RCB-", ".", "?", "!", ",", ":", "-", "--", "...", ";"]
 )
+# Stanford emits directional quote symbols (``/''), both removed; a raw
+# double-quote token is equivalent post-removal
+_DROP = PUNCTUATIONS | {'"'}
 
 _CONTRACTIONS = re.compile(r"\b(can)(not)\b|(\w+)(n't)\b|(\w+)('(?:s|re|ve|ll|d|m))\b", re.IGNORECASE)
-_PUNCT_SPLIT = re.compile(r"([\.\,\?\!\:\;]+|[\"\(\)\[\]\{\}])")
+_TRAILING_APOS = re.compile(r"(\w)'(\s|$)")  # plural possessive: dogs' -> dogs '
+_PUNCT_SPLIT = re.compile(r"([\.\,\?\!\:\;]+|[\"\(\)\[\]\{\}\$])")
+_NUM_SEP = re.compile(r"(?<=\d)([\.,])(?=\d)")  # 2,000 / 3.5 stay one token
 
 
 def ptb_tokenize_sentence(sentence: str) -> List[str]:
     s = sentence.replace("\n", " ").strip().lower()
     # split contractions PTB-style: don't -> do n't; it's -> it 's
     s = _CONTRACTIONS.sub(lambda m: " ".join(x for x in m.groups() if x), s)
-    # brackets to PTB symbols
-    for lit, sym in [("(", " -LRB- "), (")", " -RRB- "), ("{", " -LCB- "), ("}", " -RCB- ")]:
+    s = _TRAILING_APOS.sub(r"\1 ' \2", s)
+    # brackets to PTB symbols — LOWERCASE, as Stanford's -lowerCase emits
+    # them; note the reference's PUNCTUATIONS list is uppercase
+    # (ptbtokenizer.py:26-29), so these tokens are NOT removed downstream
+    for lit, sym in [("(", " -lrb- "), (")", " -rrb- "), ("{", " -lcb- "), ("}", " -rcb- ")]:
         s = s.replace(lit, sym)
+    # protect digit-internal separators (Stanford keeps 2,000 / 3.5 intact)
+    s = _NUM_SEP.sub(lambda m: "\x01" if m.group(1) == "," else "\x02", s)
     s = _PUNCT_SPLIT.sub(r" \1 ", s)
-    tokens = [t for t in s.split() if t not in PUNCTUATIONS]
+    s = s.replace("\x01", ",").replace("\x02", ".")
+    tokens = [t for t in s.split() if t not in _DROP]
     return tokens
 
 

@@ -73,7 +73,9 @@ def test_lcs():
 def test_ptb_tokenizer_rules():
     assert ptb_tokenize_sentence("A man, riding; a horse.") == "a man riding a horse".split()
     assert ptb_tokenize_sentence("Don't stop!") == ["do", "n't", "stop"]
-    assert ptb_tokenize_sentence("the dog (a pug) sat") == ["the", "dog", "a", "pug", "sat"]
+    # Stanford's -lowerCase emits -lrb-/-rrb- which the reference's UPPERCASE
+    # punctuation filter keeps (see tests/test_java_metrics_protocol.py)
+    assert ptb_tokenize_sentence("the dog (a pug) sat") == ["the", "dog", "-lrb-", "a", "pug", "-rrb-", "sat"]
     assert ptb_tokenize_sentence("it's nice...") == ["it", "'s", "nice"]
 
 
