@@ -1,8 +1,11 @@
 #!/usr/bin/env python
 """Aggregate scores across run directories (capability parity: reference
-``scripts/collect_scores.py`` — walks run dirs, picks the best-step row from
-each eval CSV, joins val/test (+ sparsity summary when present), writes
-``compiled_scores.csv`` and a x100 variant).
+``scripts/collect_scores.py:100-368``): walks run dirs, joins the val row at
+the test checkpoint step across eval CSVs, computes caption statistics
+(vocab coverage, % unique vs train captions, average length — reference
+``compute_caption_stats``), adds model-parameter totals with the ORT
+attention/embedding param-group sums, folds in ``sparsities.csv``, and
+writes ``compiled_scores.csv`` plus a x100 variant.
 
 Usage:
     python scripts/collect_scores.py --runs_dir runs/ [--output compiled_scores.csv]
@@ -12,6 +15,7 @@ from __future__ import annotations
 
 import argparse
 import csv
+import glob
 import json
 import os
 import sys
@@ -21,6 +25,50 @@ from typing import Dict, List, Optional
 sys.path.insert(0, str(Path(__file__).resolve().parent.parent))
 
 METRICS = ["Bleu_1", "Bleu_2", "Bleu_3", "Bleu_4", "METEOR", "ROUGE_L", "CIDEr", "SPICE"]
+
+
+def caption_stats(split_dir: str, vocab_size: int, train_captions: Optional[set]) -> Dict[str, str]:
+    """Vocab coverage / % unique vs train / avg length / count for the
+    latest caption JSON of an eval dir (reference collect_scores.py:247-290)."""
+    cands = sorted(glob.glob(os.path.join(split_dir, "caption_*.json")))
+    cands = [c for c in cands if not c.endswith("_val2014.json")]
+    if not cands:
+        return {}
+    with open(cands[-1]) as f:
+        captions = [d["caption"] for d in json.load(f)]
+    if not captions:
+        return {}
+    words: Dict[str, int] = {}
+    in_train = 0
+    lengths = []
+    for c in captions:
+        if train_captions is not None and c in train_captions:
+            in_train += 1
+        toks = c.split(" ")
+        lengths.append(len(toks))
+        for w in toks:
+            words[w] = words.get(w, 0) + 1
+    out = {
+        "vocab_coverage": f"{len(words) / max(vocab_size - 2, 1) * 100.0:.1f}",
+        "avg_len": f"{sum(lengths) / len(lengths):.2f}",
+        "num_captions": str(len(captions)),
+    }
+    if train_captions is not None:
+        out["pct_unique"] = f"{(1.0 - in_train / len(captions)) * 100.0:.1f}"
+    return out
+
+
+def param_groups(model_params: Dict, model: str) -> Dict[str, str]:
+    """Total + ORT attention/embedding param-group sums
+    (reference collect_scores.py:190-201)."""
+    out = {"params": str(model_params.get("total", ""))}
+    breakdown = model_params.get("breakdown") or {}
+    if model.startswith("relation_transformer") and breakdown:
+        att = sum(v for k, v in breakdown.items() if "_attn/" in k or "self_attn/" in k or "src_attn/" in k)
+        emb = sum(v for k, v in breakdown.items() if "generator/" in k or "tgt_embed/" in k)
+        out["attention_params"] = str(att)
+        out["embedding_params"] = str(emb)
+    return out
 
 
 def read_scores_csv(path: str) -> List[Dict[str, str]]:
@@ -41,11 +89,35 @@ def collect_run(run_dir: str) -> Optional[Dict[str, str]]:
         return None
     with open(config_path) as f:
         cfg = json.load(f)
+    model = str(cfg.get("caption_model", ""))
     out: Dict[str, str] = {"run": os.path.basename(run_dir.rstrip("/")),
-                           "model": str(cfg.get("caption_model", "")),
+                           "model": model,
                            "prune_type": str(cfg.get("prune_type", "")),
                            "sparsity_target": str(cfg.get("prune_sparsity_target", ""))}
     best_step = str(cfg.get("best_global_step", ""))
+
+    # the reference joins each VAL row at the TEST checkpoint step
+    # (collect_scores.py:154-164); prefer that, fall back to best_global_step
+    test_step = None
+    for split_dir in sorted(os.listdir(run_dir)):
+        if split_dir.startswith("test"):
+            csv_path = os.path.join(run_dir, split_dir, "scores.csv")
+            if os.path.isfile(csv_path):
+                rows = read_scores_csv(csv_path)
+                if rows:
+                    test_step = rows[-1].get("Step")
+    join_step = test_step or best_step
+
+    train_captions = None
+    tc_path = os.path.join(run_dir, "tokenizer", "train_captions.txt")
+    if os.path.isfile(tc_path):
+        with open(tc_path) as f:
+            train_captions = set(line.rstrip("\n") for line in f)
+
+    mp_path = os.path.join(run_dir, "model_params.json")
+    if os.path.isfile(mp_path):
+        with open(mp_path) as f:
+            out.update(param_groups(json.load(f), model))
 
     for split_dir in sorted(os.listdir(run_dir)):
         full = os.path.join(run_dir, split_dir)
@@ -54,8 +126,8 @@ def collect_run(run_dir: str) -> Optional[Dict[str, str]]:
             continue
         rows = read_scores_csv(csv_path)
         row = None
-        if best_step:
-            matches = [r for r in rows if str(int(r["Step"])) == str(int(best_step or 0))]
+        if join_step:
+            matches = [r for r in rows if str(int(r["Step"])) == str(int(join_step or 0))]
             row = matches[0] if matches else None
         row = row or best_row(rows)
         if row:
@@ -63,6 +135,8 @@ def collect_run(run_dir: str) -> Optional[Dict[str, str]]:
                 if m in row and row[m] not in ("", "nan"):
                     out[f"{split_dir}/{m}"] = row[m]
             out[f"{split_dir}/Step"] = row.get("Step", "")
+        for k, v in caption_stats(full, int(cfg.get("vocab_size", 2)), train_captions).items():
+            out[f"{split_dir}/{k}"] = v
 
     sp_csv = os.path.join(run_dir, "sparsities.csv")
     if os.path.isfile(sp_csv):

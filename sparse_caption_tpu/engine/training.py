@@ -221,11 +221,17 @@ class TrainingModule:
             from sparse_caption_tpu.parallel import shard_state
 
             self.state = shard_state(self.state, self.mesh)
-        # parameter census (reference train_transformer.py:36-50)
+        # parameter census (reference train_transformer.py:36-50); the
+        # per-tensor breakdown feeds collect_scores' param-group sums
         n_params = sum(x.size for x in jax.tree.leaves(params))
         n_masks = sum(x.size for x in jax.tree.leaves(masks))
+        breakdown = {
+            "/".join(getattr(k, "key", str(k)) for k in path): int(leaf.size)
+            for path, leaf in jax.tree_util.tree_flatten_with_path(params)[0]
+        }
         dump_json(os.path.join(self.config.log_dir, "model_params.json"),
-                  {"total": int(n_params), "trainable params": int(n_params)}, indent=2)
+                  {"total": int(n_params), "trainable params": int(n_params),
+                   "breakdown": breakdown}, indent=2)
         if n_masks:
             dump_json(os.path.join(self.config.log_dir, "mask_params.json"), {"total": int(n_masks)}, indent=2)
         logger.info("model params: %s, mask params: %s", f"{n_params:,d}", f"{n_masks:,d}")

@@ -1,6 +1,6 @@
-"""Results-tooling tests: collect_scores / collect_captions_plus over
-synthetic run dirs (capability parity: reference scripts/collect_scores.py,
-collect_captions_plus.py)."""
+"""Results-tooling tests: collect_scores / collect_captions_plus / plot
+scripts over synthetic run dirs (capability parity: reference
+scripts/collect_scores.py, collect_captions_plus.py, scripts/plots/*)."""
 
 import csv
 import json
@@ -8,23 +8,42 @@ import os
 import subprocess
 import sys
 
+import numpy as np
+
 SCRIPTS = os.path.join(os.path.dirname(__file__), "..", "scripts")
 
 
-def make_run(root, name, cider, model="relation_transformer", step="00000002"):
+def make_run(root, name, cider, model="relation_transformer", step="00000002",
+             prune_type="", sparsity_target=""):
     run = os.path.join(root, name)
     os.makedirs(os.path.join(run, "val_beam_1"), exist_ok=True)
     os.makedirs(os.path.join(run, "test_beam_2"), exist_ok=True)
-    json.dump({"caption_model": model, "best_global_step": int(step), "config_version": 1},
-              open(os.path.join(run, "config.json"), "w"))
+    os.makedirs(os.path.join(run, "tokenizer"), exist_ok=True)
+    cfg = {"caption_model": model, "best_global_step": int(step), "config_version": 1,
+           "vocab_size": 12}
+    if prune_type:
+        cfg["prune_type"] = prune_type
+        cfg["prune_sparsity_target"] = sparsity_target
+    json.dump(cfg, open(os.path.join(run, "config.json"), "w"))
+    with open(os.path.join(run, "tokenizer", "train_captions.txt"), "w") as f:
+        f.write("a train caption\nanother train caption\n")
+    json.dump({"total": 1000, "trainable params": 1000,
+               "breakdown": {"decoder_layers_0/self_attn/q_proj/kernel": 300,
+                             "generator/proj/kernel": 200,
+                             "tgt_embed/lut/embedding": 100,
+                             "att_embed/kernel": 400}},
+              open(os.path.join(run, "model_params.json"), "w"))
     for split, beam in [("val", 1), ("test", 2)]:
         d = os.path.join(run, f"{split}_beam_{beam}")
         with open(os.path.join(d, "scores.csv"), "w") as f:
             f.write("Step,Bleu_1,Bleu_2,Bleu_3,Bleu_4,METEOR,ROUGE_L,CIDEr,SPICE\n")
             f.write(f"00000001,0.5,0.4,0.3,0.2,nan,0.45,{cider - 0.1:.3f},nan\n")
             f.write(f"{step},0.6,0.5,0.4,0.3,nan,0.5,{cider:.3f},nan\n")
-        json.dump([{"image_id": 1, "caption": f"a {name} caption"}],
+        json.dump([{"image_id": 1, "caption": f"a {name} caption"},
+                   {"image_id": 2, "caption": "a train caption"}],
                   open(os.path.join(d, f"caption_{step}.json"), "w"))
+        json.dump({"1": {"CIDEr": cider, "Bleu_4": 0.3}, "2": {"CIDEr": cider / 2, "Bleu_4": 0.2}},
+                  open(os.path.join(d, f"score_{step}_detailed.json"), "w"))
     return run
 
 
@@ -39,20 +58,114 @@ def test_collect_scores(tmp_path):
     rows = list(csv.DictReader(open(out)))
     assert len(rows) == 2
     by_run = {row["run"]: row for row in rows}
-    # best-step row selected via best_global_step
+    # val row joined at the TEST checkpoint step (reference semantics)
     assert by_run["run_a"]["test_beam_2/CIDEr"] == "1.100"
+    assert by_run["run_a"]["val_beam_1/Step"] == "00000002"
     assert by_run["run_b"]["val_beam_1/CIDEr"] == "0.900"
+    # caption stats (vocab coverage / pct unique vs train captions / avg len)
+    assert by_run["run_a"]["test_beam_2/num_captions"] == "2"
+    assert by_run["run_a"]["test_beam_2/pct_unique"] == "50.0"  # one of two is in train
+    assert float(by_run["run_a"]["test_beam_2/vocab_coverage"]) > 0
+    # params + ORT param-group sums from model_params.json breakdown
+    assert by_run["run_a"]["params"] == "1000"
+    assert by_run["run_a"]["attention_params"] == "300"
+    assert by_run["run_a"]["embedding_params"] == "300"
     assert os.path.isfile(out.replace(".csv", "_100x.csv"))
 
 
-def test_collect_captions_plus(tmp_path):
+def test_collect_captions_plus_with_sheets(tmp_path):
     a = make_run(str(tmp_path), "run_a", 1.1)
     b = make_run(str(tmp_path), "run_b", 0.9)
+    img_dir = tmp_path / "imgs"
+    img_dir.mkdir()
+    from PIL import Image
+
+    Image.new("RGB", (64, 48), "blue").save(img_dir / "COCO_val2014_000000000001.jpg")
     out = str(tmp_path / "cc")
     r = subprocess.run([sys.executable, os.path.join(SCRIPTS, "collect_captions_plus.py"),
-                        "--runs", f"A:{a}", f"B:{b}", "--split", "test", "--output", out],
+                        "--runs", f"A:{a}", f"B:{b}", "--split", "test", "--output", out,
+                        "--image_dir", str(img_dir), "--sheets", "1"],
                        capture_output=True, text=True)
     assert r.returncode == 0, r.stderr
     rows = list(csv.DictReader(open(out + ".csv")))
-    assert rows[0]["A"] == "a run_a caption" and rows[0]["B"] == "a run_b caption"
+    by_id = {row["image_id"]: row for row in rows}
+    assert by_id["1"]["A"] == "a run_a caption" and by_id["1"]["B"] == "a run_b caption"
+    # sorted by (model - baseline) delta; B scores below A -> negative deltas
+    assert float(rows[0]["delta_CIDEr"]) >= float(rows[-1]["delta_CIDEr"])
     assert os.path.isfile(out + ".md")
+    sheets = os.listdir(out + "_sheets")
+    assert any(s.startswith("model_correct") for s in sheets)
+    assert any(s.startswith("baseline_correct") for s in sheets)
+
+
+def _tiny_ckpt(run_dir, prune_type="supermask", target=0.5, sparsify=True):
+    """A small ORT-shaped msgpack checkpoint + config for the plot scripts."""
+    sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
+    from sparse_caption_tpu.engine.checkpoints import save_pytree
+
+    rng = np.random.default_rng(0)
+
+    def w(shape):
+        x = rng.standard_normal(shape).astype(np.float32)
+        if sparsify:
+            x[np.abs(x) < 0.8] = 0.0
+        return x
+
+    params = {}
+    for i in range(2):
+        params[f"box_encoder_layers_{i}"] = {
+            "self_attn": {"q_proj": {"kernel": w((8, 8))}, "out_proj": {"kernel": w((8, 8))}},
+            "feed_forward": {"w_1": {"kernel": w((8, 16))}, "w_2": {"kernel": w((16, 8))}},
+        }
+        params[f"decoder_layers_{i}"] = {
+            "self_attn": {"q_proj": {"kernel": w((8, 8))}},
+            "feed_forward": {"w_1": {"kernel": w((8, 16))}},
+        }
+    params["generator"] = {"proj": {"kernel": w((8, 12))}}
+    os.makedirs(run_dir, exist_ok=True)
+    save_pytree(os.path.join(run_dir, "model_best.msgpack"), {"params": params, "masks": {}})
+    json.dump({"caption_model": "relation_transformer", "prune_type": prune_type,
+               "prune_sparsity_target": target, "config_version": 1},
+              open(os.path.join(run_dir, "config.json"), "w"))
+    return run_dir
+
+
+def test_plot_nonzero_weights_kde(tmp_path):
+    a = _tiny_ckpt(str(tmp_path / "dense"), prune_type="", sparsify=False)
+    b = _tiny_ckpt(str(tmp_path / "smp"))
+    out = str(tmp_path / "plots")
+    r = subprocess.run([sys.executable, os.path.join(SCRIPTS, "plots", "plot_nonzero_weights_kde.py"),
+                        "--run_dirs", a, b, "--out_dir", out],
+                       capture_output=True, text=True)
+    assert r.returncode == 0, r.stderr
+    assert os.path.isfile(os.path.join(out, "nonzero_weights_kde.png"))
+    assert os.path.isfile(os.path.join(out, "nonzero_weights_kde_panels.png"))
+
+
+def test_compute_ort_layer_sim(tmp_path):
+    run = _tiny_ckpt(str(tmp_path / "ort"))
+    out = str(tmp_path / "plots")
+    r = subprocess.run([sys.executable, os.path.join(SCRIPTS, "plots", "compute_ort_layer_sim.py"),
+                        "--run_dir", run, "--out_dir", out],
+                       capture_output=True, text=True)
+    assert r.returncode == 0, r.stderr
+    assert os.path.isfile(os.path.join(out, "layer_sim_encoder.png"))
+    assert os.path.isfile(os.path.join(out, "layer_sim_decoder.png"))
+
+
+def test_plot_charts(tmp_path):
+    make_run(str(tmp_path / "runs"), "dense", 1.1)
+    make_run(str(tmp_path / "runs"), "smp95", 1.0, prune_type="supermask", sparsity_target=0.95)
+    make_run(str(tmp_path / "runs"), "smp99", 0.9, prune_type="supermask", sparsity_target=0.99)
+    compiled = str(tmp_path / "compiled.csv")
+    r = subprocess.run([sys.executable, os.path.join(SCRIPTS, "collect_scores.py"),
+                        "--runs_dir", str(tmp_path / "runs"), "--output", compiled],
+                       capture_output=True, text=True)
+    assert r.returncode == 0, r.stderr
+    out = str(tmp_path / "plots")
+    r = subprocess.run([sys.executable, os.path.join(SCRIPTS, "plots", "plot_charts.py"),
+                        "--scores", compiled, "--out_dir", out],
+                       capture_output=True, text=True)
+    assert r.returncode == 0, r.stderr
+    for f in ["cider_vs_sparsity.png", "cider_vs_nnz.png", "metric_bars.png"]:
+        assert os.path.isfile(os.path.join(out, f)), f
