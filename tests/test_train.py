@@ -105,20 +105,36 @@ def test_train_acort_radix_sharing(fixture_dataset, tmp_path):
 
 @pytest.mark.parametrize("prune_type", ["supermask", "snip", "mag_blind", "mag_uniform", "mag_dist"])
 def test_train_prune(prune_type, fixture_dataset, tmp_path):
+    extra = ["--prune_type", prune_type, "--prune_sparsity_target", "0.5"]
+    if prune_type == "supermask":
+        # enough optimizer steps + the reference toy-test sparsity-loss
+        # weight (tests/test_prune.py:46 uses weight=120 over 40 iters) so
+        # the anneal actually drives the masks to the target within the run
+        extra += ["--max_epochs", "5", "--prune_supermask_sparsity_weight", "120",
+                  "--save_checkpoint_every", "5", "--losses_log_every", "5"]
     argv = tiny_args(fixture_dataset, tmp_path, "relation_transformer_prune",
-                     TINY_TRANSFORMER + ["--prune_type", prune_type, "--prune_sparsity_target", "0.5"])
+                     TINY_TRANSFORMER + extra)
     module = run_train(argv, prune=True)
     log_dir = module.config.log_dir
     assert os.path.isfile(os.path.join(log_dir, "mask_params.json"))
     from sparse_caption_tpu.pruning.engine import mask_sparsity
 
     s, _, _ = mask_sparsity(module.state.masks, prune_type)
-    # one-shot magnitude masks are frozen -> stay at target; supermask needs
-    # many steps; SNIP masks are gradient-trained at lr=100 after the one-shot
-    # prune (reference masked_layer.py:58-70 + train_n_prune param groups), so
-    # post-training sparsity is unconstrained — its one-shot accuracy is
-    # asserted in test_pruning.py::TestSnip
-    if prune_type not in ("supermask", "snip"):
+    if prune_type == "supermask":
+        # end-state parity with the reference integration assertion
+        # (tests/test_prune.py:119-126: final sparsity within +-0.3 of target
+        # for the REGULAR/supermask type after training)
+        assert abs(float(s) - 0.5) < 0.3
+    elif prune_type == "snip":
+        # SNIP masks are gradient-trained at lr=100 after the one-shot prune
+        # (reference masked_layer.py:67 mask_trainable + train_n_prune param
+        # groups), so post-training sparsity is unconstrained here — the
+        # reference toy test never feeds SNIP masks to its optimizer, making
+        # its post-training assertion equivalent to the one-shot check in
+        # test_pruning.py::TestSnip
+        pass
+    else:
+        # one-shot magnitude masks are frozen -> stay at target
         assert abs(float(s) - 0.5) < 0.05
 
 
