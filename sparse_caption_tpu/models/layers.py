@@ -28,6 +28,46 @@ from sparse_caption_tpu.ops.masked import MaskConfig, MaskedDense
 NEG_INF = -1e9
 
 
+class TimeDropout(nn.Module):
+    """Dropout whose per-decode-step randomness is keyed by ``fold_in(site_key, t)``.
+
+    Three modes over the same site key (``make_rng("dropout")``):
+
+    * standard (``t=None, replay_time=False``): one draw over ``x.shape`` —
+      ordinary dropout for full-sequence (XE) forwards.
+    * step (``t`` given, x ``(N, 1, D)``): draw keyed by ``fold_in(key, t)``
+      — used by the incremental decode so each step gets fresh dropout (the
+      reference's train-mode sampling loop calls the model once per step,
+      utils/training.py:225-237) while the *site* key stays constant across
+      steps.
+    * replay (``replay_time=True``, x ``(N, T, D)``): re-draw the step-mode
+      masks for ALL t in one pass (vmap over ``fold_in(key, t)``).  This is
+      what lets a single teacher-forced forward reproduce, bit for bit, the
+      dropout realization of a whole train-mode sampling decode — the key to
+      the fast SCST gradient pass (one parallel fwd+bwd instead of
+      differentiating through a T-step scan).
+    """
+
+    rate: float
+
+    @nn.compact
+    def __call__(self, x, train: bool = False, t=None, replay_time: bool = False):
+        if not train or self.rate == 0.0:
+            return x
+        key = self.make_rng("dropout")
+        keep = 1.0 - self.rate
+        if t is not None:
+            mask = jax.random.bernoulli(jax.random.fold_in(key, t), keep, x.shape)
+        elif replay_time:
+            n, t_len, d = x.shape
+            keys = jax.vmap(lambda i: jax.random.fold_in(key, i))(jnp.arange(t_len))
+            mask = jax.vmap(lambda k: jax.random.bernoulli(k, keep, (n, 1, d)))(keys)  # (T, N, 1, D)
+            mask = mask[:, :, 0, :].transpose(1, 0, 2)  # (N, T, D)
+        else:
+            mask = jax.random.bernoulli(key, keep, x.shape)
+        return jnp.where(mask, x / keep, jnp.zeros_like(x))
+
+
 class RefLayerNorm(nn.Module):
     """LayerNorm matching the reference: a*(x-mean)/(std+eps)+b with unbiased std."""
 
@@ -64,7 +104,8 @@ class PositionalEncoding(nn.Module):
     max_len: int = 5000
 
     @nn.compact
-    def __call__(self, x, t: Optional[jnp.ndarray] = None, train: bool = False):
+    def __call__(self, x, t: Optional[jnp.ndarray] = None, train: bool = False,
+                 replay_time: bool = False):
         # match the activation dtype: an f32 table silently promotes the whole
         # decode to f32 (doubles cache/select traffic on bf16 runs)
         pe = sinusoid_table(self.max_len, self.d_model).astype(x.dtype)
@@ -72,7 +113,7 @@ class PositionalEncoding(nn.Module):
             x = x + pe[None, : x.shape[1]]
         else:  # incremental decoding: x is (B, 1, D), t the time index
             x = x + jax.lax.dynamic_slice_in_dim(pe, t, 1, axis=0)[None]
-        return nn.Dropout(self.dropout_rate, deterministic=not train)(x)
+        return TimeDropout(self.dropout_rate)(x, train, t=t, replay_time=replay_time)
 
 
 class PositionwiseFeedForward(nn.Module):
@@ -82,9 +123,9 @@ class PositionwiseFeedForward(nn.Module):
     mask_cfg: Optional[MaskConfig] = None
 
     @nn.compact
-    def __call__(self, x, train: bool = False):
+    def __call__(self, x, train: bool = False, t=None, replay_time: bool = False):
         h = MaskedDense(self.d_ff, mask_cfg=self.mask_cfg, name="w_1")(x, train)
-        h = nn.Dropout(self.dropout_rate, deterministic=not train)(nn.relu(h))
+        h = TimeDropout(self.dropout_rate)(nn.relu(h), train, t=t, replay_time=replay_time)
         return MaskedDense(self.d_model, mask_cfg=self.mask_cfg, name="w_2")(h, train)
 
 
@@ -94,9 +135,9 @@ class SublayerConnection(nn.Module):
     dropout_rate: float = 0.1
 
     @nn.compact
-    def __call__(self, x, sublayer, train: bool = False):
+    def __call__(self, x, sublayer, train: bool = False, t=None, replay_time: bool = False):
         y = sublayer(RefLayerNorm(name="norm")(x))
-        return x + nn.Dropout(self.dropout_rate, deterministic=not train)(y)
+        return x + TimeDropout(self.dropout_rate)(y, train, t=t, replay_time=replay_time)
 
 
 def _split_heads(x, h: int):
@@ -170,11 +211,16 @@ class MultiHeadAttention(nn.Module):
             v = _split_heads(self.v_proj(value, train), self.num_heads)
         return k, v
 
-    def __call__(self, query, key, value, mask=None, train: bool = False):
-        """Full-sequence attention. mask: (B, 1, Tq, Tk) or (B, 1, 1, Tk); 0=invalid."""
+    def __call__(self, query, key, value, mask=None, train: bool = False,
+                 attn_dropout: bool = True):
+        """Full-sequence attention. mask: (B, 1, Tq, Tk) or (B, 1, 1, Tk); 0=invalid.
+
+        ``attn_dropout=False`` skips the attention-prob dropout — used by the
+        teacher-forced SCST replay, whose step-mode counterpart
+        (decode_self/decode_cross) applies none."""
         q = _split_heads(self.q_proj(query, train), self.num_heads)
         k, v = self._project_kv(key, value, train)
-        drop = self.attn_dropout if train else None
+        drop = self.attn_dropout if (train and attn_dropout) else None
         out = scaled_dot_attention(q, k, v, mask=mask, dropout=(lambda p: drop(p, deterministic=False)) if drop else None)
         return self.out_proj(_merge_heads(out), train)
 
@@ -349,8 +395,15 @@ class BoxMultiHeadAttention(nn.Module):
             k = _split_heads(self.k_proj(x, train), self.num_heads)
             v = _split_heads(self.v_proj(x, train), self.num_heads)
 
-        geo = box_relational_embedding(boxes, dim_g=self.dim_g, trigonometric=self.trigonometric_embedding)
-        w_g = nn.relu(self.wg(geo, train))  # (B, R, R, h)
+        # geometry features in f32 ALWAYS: the trig expansion evaluates
+        # sin/cos of x100-scaled log-deltas, where bf16's 8-bit mantissa
+        # rounds the argument by more than 2*pi — the embedding degenerates
+        # to noise (observed as ~40x inflated wg grads under bf16 training).
+        # The tensors are tiny ((B, R, R, 64)); the result re-enters the
+        # compute dtype at the wg projection below.
+        geo = box_relational_embedding(boxes.astype(jnp.float32), dim_g=self.dim_g,
+                                       trigonometric=self.trigonometric_embedding)
+        w_g = nn.relu(self.wg(geo.astype(x.dtype), train))  # (B, R, R, h)
         # geometry log/clamp math stays f32; cast the bias to the attention
         # dtype so an f32 `boxes` input doesn't re-promote a bf16 encoder
         log_wg = jnp.log(jnp.maximum(w_g, 1e-6)).transpose(0, 3, 1, 2).astype(q.dtype)  # (B, h, R, R)
@@ -385,4 +438,9 @@ class Generator(nn.Module):
     @nn.compact
     def __call__(self, x, train: bool = False):
         logits = MaskedDense(self.vocab_size, mask_cfg=self.mask_cfg, name="proj")(x, train)
+        if train:
+            # mixed-precision hygiene: under bf16 training the projection runs
+            # on the MXU in bf16, but the log_softmax (and thus every loss)
+            # accumulates in f32 — standard TPU practice; exact no-op for f32
+            logits = logits.astype(jnp.float32)
         return jax.nn.log_softmax(logits, axis=-1)

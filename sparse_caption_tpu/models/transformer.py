@@ -89,10 +89,18 @@ class DecoderLayer(nn.Module):
         self.sub1 = SublayerConnection(self.dropout_rate)
         self.sub2 = SublayerConnection(self.dropout_rate)
 
-    def __call__(self, x, memory, src_mask, tgt_mask, train: bool = False):
-        x = self.sub0(x, lambda y: self.self_attn(y, y, y, tgt_mask, train), train)
-        x = self.sub1(x, lambda y: self.src_attn(y, memory, memory, src_mask, train), train)
-        return self.sub2(x, lambda y: self.feed_forward(y, train), train)
+    def __call__(self, x, memory, src_mask, tgt_mask, train: bool = False,
+                 replay_time: bool = False):
+        # replay_time: reproduce the incremental decode's train-mode dropout
+        # (per-step folded keys; no attn-prob dropout — the step path applies
+        # none) so one teacher-forced pass equals a whole sampling decode
+        ad = not replay_time
+        x = self.sub0(x, lambda y: self.self_attn(y, y, y, tgt_mask, train, attn_dropout=ad),
+                      train, replay_time=replay_time)
+        x = self.sub1(x, lambda y: self.src_attn(y, memory, memory, src_mask, train, attn_dropout=ad),
+                      train, replay_time=replay_time)
+        return self.sub2(x, lambda y: self.feed_forward(y, train, replay_time=replay_time),
+                         train, replay_time=replay_time)
 
     # ------------------------------------------------------------- decode
     def project_memory_kv(self, memory, train: bool = False):
@@ -109,16 +117,16 @@ class DecoderLayer(nn.Module):
             layer_cache["self_k"], layer_cache["self_v"] = new_k, new_v
             return out
 
-        x_t = self.sub0(x_t, self_fn, train)
+        x_t = self.sub0(x_t, self_fn, train, t=t)
         x_t = self.sub1(
             x_t,
             lambda y: self.src_attn.decode_cross(y, cross["cross_k"], cross["cross_v"], mem_mask, train),
-            train,
+            train, t=t,
         )
         # note: a Pallas fused ln+FFN kernel for this block was A/B'd twice
         # (round 1: 485.9 vs 485.6 c/s; round 2 @ batch 256: 3214 vs 3203)
         # and never beat XLA's own fusion at these sizes, so it was removed
-        x_t = self.sub2(x_t, lambda y: self.feed_forward(y, train), train)
+        x_t = self.sub2(x_t, lambda y: self.feed_forward(y, train, t=t), train, t=t)
         return x_t, layer_cache
 
 
@@ -193,14 +201,21 @@ class Transformer(nn.Module):
         return {"memory": memory, "mask": att_masks}
 
     # ----------------------------------------------------- XE teacher force
-    def _decode_full(self, tgt, memory, mem_mask, train: bool):
+    def _decode_full(self, tgt, memory, mem_mask, train: bool, replay_time: bool = False):
         """tgt: (N, T) already cropped. Returns decoder output (N, T, D)."""
         t = tgt.shape[1]
-        tgt_mask = (tgt != self.pad_id)[:, None, None, :] & subsequent_mask(t)  # (N,1,T,T)
+        if replay_time:
+            # match the incremental decode exactly: it attends to every
+            # written cache slot <= t regardless of token id (a sampled pad
+            # or post-EOS pad still wrote K/V), so the replay must NOT mask
+            # pad keys the way the XE forward does
+            tgt_mask = jnp.broadcast_to(subsequent_mask(t), (tgt.shape[0], 1, t, t))
+        else:
+            tgt_mask = (tgt != self.pad_id)[:, None, None, :] & subsequent_mask(t)  # (N,1,T,T)
         src_mask = mem_mask[:, None, None, :]
-        x = self.pos_enc(self.tgt_embed(tgt, train), train=train)
+        x = self.pos_enc(self.tgt_embed(tgt, train), train=train, replay_time=replay_time)
         for i in self.dec_plan:
-            x = self.decoder_layers[i](x, memory, src_mask, tgt_mask, train)
+            x = self.decoder_layers[i](x, memory, src_mask, tgt_mask, train, replay_time=replay_time)
         return self.decoder_norm(x)
 
     def __call__(self, att_feats, att_masks, seqs, boxes=None, train: bool = False):
@@ -215,6 +230,37 @@ class Transformer(nn.Module):
             memory = jnp.repeat(memory, spi, axis=0)
             mem_mask = jnp.repeat(mem_mask, spi, axis=0)
         out = self._decode_full(tgt, memory, mem_mask, train)
+        return self.generator(out, train)
+
+    # --------------------------------------------- SCST teacher-forced replay
+    # The incremental decode folds every dropout site's key by the step index
+    # (TimeDropout step mode), so one parallel forward in replay_time mode
+    # reproduces a whole train-mode sampling decode bit for bit. SCST's
+    # gradient pass uses this instead of differentiating through the T-step
+    # scan: gradients still attach to the true sampling-pass logprobs
+    # (reference utils/training.py:225-254 captured-logprob semantics) at the
+    # cost of ONE teacher-forced fwd+bwd. Only valid for dense models — a
+    # supermask model redraws its Bernoulli masks every step, which no single
+    # parallel pass can reproduce.
+    DECODE_DROPOUT_FOLDS_T = True
+
+    def decode_teacher_forced(self, memory_pytree: Dict[str, Any], seqs, train: bool = False):
+        """Logprobs (N, T-1, V) of ``seqs[:, 1:]`` given an encoded memory.
+
+        ``seqs``: (N, T) starting with BOS; N may be a multiple of the
+        memory's batch (samples per image — memory rows are repeated).
+        With ``train=True`` under the same ``"dropout"`` rng as a sampling
+        decode, the returned logprobs equal that decode's per-step logprobs
+        at every pre-EOS position (post-EOS positions differ only through
+        loss-masked pad handling)."""
+        memory, mem_mask = memory_pytree["memory"], memory_pytree["mask"]
+        tgt = seqs[:, :-1]
+        if memory.shape[0] != tgt.shape[0]:
+            assert tgt.shape[0] % memory.shape[0] == 0
+            spi = tgt.shape[0] // memory.shape[0]
+            memory = jnp.repeat(memory, spi, axis=0)
+            mem_mask = jnp.repeat(mem_mask, spi, axis=0)
+        out = self._decode_full(tgt, memory, mem_mask, train, replay_time=train)
         return self.generator(out, train)
 
     # ------------------------------------------------------------- decode

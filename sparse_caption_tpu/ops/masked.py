@@ -72,7 +72,11 @@ class _Prunable(nn.Module):
             MASKS_COLLECTION, "mask", lambda: jnp.full(kernel.shape, init_value, dtype=jnp.float32)
         ).value
         rng = self.make_rng(MASK_RNG) if (cfg.is_supermask and train) else None
-        return kernel * sample_mask(mask, cfg, train, rng)
+        # cast back to the weight dtype: masks live in f32 (their lr=100
+        # updates would quantize away in bf16), and the f32 0/1 sample would
+        # otherwise promote a bf16 kernel — and every downstream matmul —
+        # to f32. The multiply-by-0/1 is exact, so the cast is too.
+        return (kernel * sample_mask(mask, cfg, train, rng)).astype(kernel.dtype)
 
 
 def masked_weight(kernel, mask, cfg: MaskConfig, train: bool, rng_key=None):

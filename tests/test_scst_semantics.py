@@ -116,3 +116,91 @@ def test_two_phase_step_equals_fused_step(fixture_dataset, tmp_path, baseline):
         np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-6)
     for a, b in zip(jax.tree.leaves(state_a.masks), jax.tree.leaves(state_b.masks)):
         np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-6)
+
+
+def _dense_module(fixture_dataset, tmp_path, extra=()):
+    argv = [
+        "--caption_model", "transformer",
+        "--dataset", "mscoco_testing",
+        "--dataset_dir", fixture_dataset,
+        "--log_dir", str(tmp_path),
+        "--tokenizer", "word",
+        "--vocab_size", "64",
+        "--batch_size", "2",
+        "--max_epochs", "1",
+        "--max_seq_length", "10",
+        "--max_att_regions", "8",
+        "--att_feat_size", "16",
+        "--seq_per_img", "3",
+        "--cache_min_free_ram", "1.0",
+        "--scst_start_epoch", "0",
+        "--scst_num_samples", "3",
+        "--scst_sample", "random",
+        "--scst_baseline", "greedy",
+    ] + TINY + list(extra)
+    args = parse_opt(argv)
+    config = Config(**vars(args))
+    from sparse_caption_tpu.engine.training import TrainingModule
+
+    module = TrainingModule(config)
+    module.prepare()
+    module.init_state()
+    return module
+
+
+def test_teacher_forced_replay_matches_sampling_logprobs(fixture_dataset, tmp_path):
+    """Dense models: ONE parallel teacher-forced forward in replay mode
+    (TimeDropout per-step key folding, causal-only key mask, no decoder
+    attn-prob dropout) reproduces the train-mode sampling decode's
+    per-step logprobs at every loss-relevant (non-pad) position."""
+    import jax
+    import jax.numpy as jnp
+
+    from sparse_caption_tpu.decoding import generate
+    from sparse_caption_tpu.decoding.api import decode_train_keys
+
+    module = _dense_module(fixture_dataset, tmp_path / "tf")
+    model = module.model
+    assert model.DECODE_DROPOUT_FOLDS_T
+    batch = next(iter(module.train_loader))
+    inputs = module._model_inputs(batch, with_seqs=False)
+    variables = module._variables(module.state)
+    n_samples, t = 3, 9
+    sample_opt = {"num_random_sample": n_samples, "beam_size": 0, "max_seq_length": t,
+                  "decode_train": True}
+    rng = jax.random.PRNGKey(13)
+    k_d, k_m, k_dec = jax.random.split(rng, 3)
+    memory = model.apply(variables, **inputs, train=True,
+                         rngs={"dropout": k_d, "mask": k_m}, method="encode")
+    seq, seq_lp = generate(model, variables, memory, sample_opt, rng=k_dec)
+
+    _, dropout_key, _, _ = decode_train_keys(k_dec)
+    n = seq.shape[0] * seq.shape[1]
+    flat = jnp.reshape(seq, (n, t))
+    seqs_in = jnp.concatenate([jnp.full((n, 1), model.bos_id, jnp.int32), flat], axis=1)
+    lp = model.apply(variables, memory, seqs_in, True,
+                     method="decode_teacher_forced", rngs={"dropout": dropout_key})
+    lp_at = jnp.take_along_axis(lp, flat[..., None], axis=2)[..., 0]
+    valid = np.asarray(flat) != model.pad_id
+    assert valid.any()
+    np.testing.assert_allclose(np.asarray(lp_at)[valid],
+                               np.asarray(seq_lp).reshape(n, t)[valid], atol=1e-5)
+
+
+def test_dense_two_phase_uses_tf_replay_and_equals_fused(fixture_dataset, tmp_path):
+    """The dense two-phase step (teacher-forced replay grad pass) produces
+    the same parameter update as the fused captured-logprob step."""
+    import jax
+
+    module = _dense_module(fixture_dataset, tmp_path / "tf_eq")
+    two_phase = module.make_scst_step()
+    fused = module.make_scst_fused_step()
+    batch = next(iter(module.train_loader))
+    rng = jax.random.PRNGKey(17)
+    k_sample, _ = jax.random.split(rng)
+    state_a, loss_a, aux_a = two_phase(module.state, batch, rng)
+    state_b, loss_b, aux_b = fused(module.state, batch, k_sample)
+    np.testing.assert_allclose(float(loss_a), float(loss_b), atol=1e-5)
+    np.testing.assert_allclose(aux_a["avg_reward"], aux_b["avg_reward"], atol=1e-6)
+    for a, b in zip(jax.tree.leaves(state_a.params), jax.tree.leaves(state_b.params)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-5)
