@@ -60,14 +60,28 @@ class KarpathyDataset(ABC):
         return list(data)
 
     # ---------------------------------------------------------- ingestion
+    # Karpathy split archive, fetched when the raw JSON is absent
+    # (reference karpathy.py:82-93). Override via --dataset_archive_url to a
+    # mirror or a local file:// path on air-gapped machines.
+    CAPTION_DATASETS_URL = "https://cs.stanford.edu/people/karpathy/deepimagesent/caption_datasets.zip"
+
     def process_karpathy_json(self) -> None:
         raw_json = os.path.join(self.dataset_dir, self.RAW_JSON_FILE)
         if not os.path.isfile(raw_json):
-            raise FileNotFoundError(
-                f"caption JSON not found: {raw_json}. Download the Karpathy splits "
-                "(caption_datasets.zip) into the dataset dir, or generate fixtures "
-                "with scripts/dataset/make_test_fixtures.py"
-            )
+            from sparse_caption_tpu.utils.file_io import get_file
+
+            origin = self.config.get("dataset_archive_url") or self.CAPTION_DATASETS_URL
+            try:
+                get_file("caption_datasets.zip", origin, self.dataset_dir, extract=True)
+            except Exception as e:  # zero-egress hosts land here
+                raise FileNotFoundError(
+                    f"caption JSON not found: {raw_json}, and fetching `{origin}` failed "
+                    f"({e}). Download the Karpathy splits (caption_datasets.zip) into the "
+                    "dataset dir, pass --dataset_archive_url file:///path/to/archive.zip, "
+                    "or generate fixtures with scripts/dataset/make_test_fixtures.py"
+                ) from e
+        if not os.path.isfile(raw_json):
+            raise FileNotFoundError(f"archive fetched but `{self.RAW_JSON_FILE}` still missing in {self.dataset_dir}")
         with open(raw_json) as f:
             raw = json.load(f)
 

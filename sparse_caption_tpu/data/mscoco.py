@@ -41,6 +41,29 @@ class MscocoDataset(KarpathyDataset):
             for p in img_paths
         ]
 
+    # official val2014 annotation archive (reference mscoco.py:50-59 fetches
+    # it when captions_val2014.json is absent; --dataset_archive_url-style
+    # override via --annotations_archive_url, incl. file:// for air-gapped)
+    ANNOTATIONS_URL = "http://images.cocodataset.org/annotations/annotations_trainval2014.zip"
+
+    def annotation_file_path(self) -> str:
+        """Prefer the OFFICIAL captions_val2014.json (the reference's metric
+        GT, tests/test_coco_caption.py golden anchor) when present in the
+        dataset dir or fetchable; otherwise fall back to the synthesized
+        COCO-style GT built from the Karpathy split captions."""
+        official = os.path.join(self.dataset_dir, "annotations", self.ANNOTATION_FILE)
+        if os.path.isfile(official):
+            return official
+        if self.config.get("fetch_official_annotations", False):
+            from sparse_caption_tpu.utils.file_io import get_file
+
+            origin = self.config.get("annotations_archive_url") or self.ANNOTATIONS_URL
+            get_file("annotations_trainval2014.zip", origin, self.dataset_dir, extract=True)
+            if os.path.isfile(official):
+                return official
+            logger.warning("annotations archive fetched but `%s` missing; using synthesized GT", official)
+        return super().annotation_file_path()
+
     @staticmethod
     def image_filename_to_id(filename: str) -> int:
         # "COCO_val2014_000000522418.jpg" -> 522418

@@ -96,12 +96,15 @@ def generate(
         # projection masks once (the reference projects them on the first
         # train-mode step and caches, transformer.py:255-256)
         kw = dict(train=True, rngs={"mask": init_key}) if decode_train else {}
+        # cache sized EXACTLY max_len: the loop writes slots 0..max_len-1,
+        # and every per-step attention reads the whole static cache, so one
+        # spare slot is ~6% wasted HBM traffic at paper scale
         if grouped:
-            cache = model.apply(variables, memory, max_len + 1, rows_per_image, beam_ancestry,
+            cache = model.apply(variables, memory, max_len, rows_per_image, beam_ancestry,
                                 method="init_cache", **kw)
             return cache, memory
         mem = _repeat_pytree(memory, rows_per_image)
-        return model.apply(variables, mem, max_len + 1, method="init_cache", **kw), mem
+        return model.apply(variables, mem, max_len, method="init_cache", **kw), mem
 
     if num_random_sample > 0:
         assert beam_size < 1, f"beam_size must be < 1 for random sampling, got {beam_size}"

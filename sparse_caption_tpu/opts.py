@@ -24,6 +24,14 @@ def add_training_args(parser) -> None:
     parser.add_argument("--cache_min_free_ram", type=float, default=0.4)
     parser.add_argument("--num_workers", type=int, default=4)
     parser.add_argument("--cached_tokens", type=str, default=None)
+    parser.add_argument("--dataset_archive_url", type=str, default=None,
+                        help="override for the Karpathy caption_datasets.zip origin "
+                             "(http(s), file://, or local path — see utils/file_io.get_file)")
+    parser.add_argument("--annotations_archive_url", type=str, default=None,
+                        help="override for the official COCO annotations zip origin")
+    parser.add_argument("--fetch_official_annotations", action="store_true",
+                        help="fetch/use the official captions_val2014.json as metric GT "
+                             "instead of GT synthesized from the Karpathy split")
     parser.add_argument("--id", type=str, default="")
     parser.add_argument("--log_dir", type=str, default="runs")
     parser.add_argument("--start_from", type=str, default="")

@@ -21,10 +21,17 @@ def select_platform(platform: str | None) -> None:
 def enable_persistent_cache(cache_dir: str | None = None) -> None:
     """Enable the XLA persistent compilation cache (big win on slow hosts;
     TPU executables are cached too, cutting the ~20-40s first-compile cost
-    on relaunch)."""
+    on relaunch).
+
+    Default location is ``<repo>/.jax_cache`` (gitignored), NOT /tmp: large-
+    batch TPU graphs compile in minutes through tunneled backends, /tmp is
+    wiped between sessions, and the repo tree persists — so a warmed cache
+    survives to the next run of bench/eval with identical graphs."""
     import jax
 
-    cache_dir = cache_dir or os.environ.get("SPARSE_CAPTION_JAX_CACHE", "/tmp/sparse_caption_jax_cache")
+    default_dir = os.path.join(os.path.dirname(os.path.dirname(os.path.dirname(os.path.abspath(__file__)))),
+                               ".jax_cache")
+    cache_dir = cache_dir or os.environ.get("SPARSE_CAPTION_JAX_CACHE", default_dir)
     jax.config.update("jax_compilation_cache_dir", cache_dir)
     jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.0)
     jax.config.update("jax_persistent_cache_min_entry_size_bytes", -1)

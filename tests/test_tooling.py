@@ -169,3 +169,14 @@ def test_plot_charts(tmp_path):
     assert r.returncode == 0, r.stderr
     for f in ["cider_vs_sparsity.png", "cider_vs_nnz.png", "metric_bars.png"]:
         assert os.path.isfile(os.path.join(out, f)), f
+
+
+def test_plot_supermask_fig(tmp_path):
+    """Method-figure generator (parity: reference scripts/plots/plot_prune_fig.py)."""
+    r = subprocess.run([sys.executable, os.path.join(SCRIPTS, "plots", "plot_supermask_fig.py"),
+                        "--out_dir", str(tmp_path), "--dpi", "50", "--size", "4"],
+                       capture_output=True, text=True)
+    assert r.returncode == 0, r.stderr
+    for name in ("mask", "mask_sigmoid", "mask_bern", "mask_round",
+                 "weight", "weight_bern", "weight_round"):
+        assert (tmp_path / f"{name}.png").is_file()
