@@ -140,11 +140,16 @@ def bench_xe_step(jax, jnp):
     variables = model.init({"params": jax.random.PRNGKey(0), "mask": jax.random.PRNGKey(1)},
                            att, amask, seqs, boxes=boxes)
     params, masks = variables["params"], variables["masks"]
-    state = {"params": params, "masks": masks, "ow": opt_w.init(params), "om": opt_m.init(masks)}
+    state = {"params": params, "masks": masks, "ow": opt_w.init(params), "om": opt_m.init(masks),
+             "step": jnp.zeros((), jnp.int32)}
+    base_rng = jax.random.PRNGKey(2)
 
     @jax.jit
-    def xe_step(state, rng):
-        k_drop, k_mask = jax.random.split(rng)
+    def xe_step(state):
+        # per-step keys derived in-jit from the carried step counter —
+        # eager host fold_in ops are ~3 ms relay dispatches each
+        # (engine/training.py make_xe_step does the same from state.step)
+        k_drop, k_mask = jax.random.split(jax.random.fold_in(base_rng, state["step"]))
 
         def loss_fn(params, masks):
             # f32 params: JAX's default TPU matmul precision already runs f32
@@ -161,11 +166,10 @@ def bench_xe_step(jax, jnp):
         import optax as _o
 
         return {"params": _o.apply_updates(state["params"], uw), "masks": _o.apply_updates(state["masks"], um),
-                "ow": ow, "om": om}, loss
+                "ow": ow, "om": om, "step": state["step"] + 1}, loss
 
-    key = jax.random.PRNGKey(2)
     t0 = time.perf_counter()
-    state, loss = xe_step(state, key)
+    state, loss = xe_step(state)
     np.asarray(loss)
     _log(f"xe warmup+compile: {time.perf_counter() - t0:.1f}s")
     n = 10
@@ -173,7 +177,7 @@ def bench_xe_step(jax, jnp):
     for _trial in range(2):
         t0 = time.perf_counter()
         for i in range(n):
-            state, loss = xe_step(state, jax.random.fold_in(key, i))
+            state, loss = xe_step(state)
         np.asarray(loss)
         best = min(best, time.perf_counter() - t0)
     return n / best
@@ -196,7 +200,8 @@ def bench_scst_step(jax, jnp, tmp_dir="/tmp/sc_bench"):
     seqs0 = jnp.asarray(rng.integers(4, VOCAB, (b, t + 1)), jnp.int32)
     variables = model.init({"params": jax.random.PRNGKey(3)}, att, amask, seqs0, boxes=boxes)
     params = variables["params"]
-    state = {"params": params, "ow": opt_w.init(params)}
+    state = {"params": params, "ow": opt_w.init(params), "step": jnp.zeros((), jnp.int32)}
+    base_rng = jax.random.PRNGKey(4)
 
     # synthetic refs + df pickle (token ids as words — same n-gram math)
     words = lambda ids: " ".join(f"w{i}" for i in ids)  # noqa: E731
@@ -225,16 +230,20 @@ def bench_scst_step(jax, jnp, tmp_dir="/tmp/sc_bench"):
         return generate(model, v, memory, opt_d, rng=kdec)
 
     @jax.jit
-    def sample_fn(params, rng):
+    def sample_fn(params, step):
+        # per-step key derived in-jit (mirrors engine/training.py): eager
+        # host rng ops are ~3 ms relay dispatches each
+        rng = jax.random.fold_in(base_rng, step)
         v = {"params": params}
         memory_ev = model.apply(v, att, amask, boxes, method="encode")
         return {"sample": train_sample(params, rng, False)[0],
                 "greedy": generate(model, v, memory_ev, greedy_opt)[0]}
 
     @jax.jit
-    def grad_fn(state, sample_seq, rewards, rng):
+    def grad_fn(state, sample_seq, rewards):
         from sparse_caption_tpu.decoding.api import decode_train_keys
 
+        rng = jax.random.fold_in(base_rng, state["step"])  # same key as sample_fn
         flat = sample_seq.reshape(b * n_samples, t)
 
         def loss_fn(params):
@@ -257,22 +266,21 @@ def bench_scst_step(jax, jnp, tmp_dir="/tmp/sc_bench"):
         uw, ow = opt_w.update(gw, state["ow"], state["params"])
         import optax as _o
 
-        return {"params": _o.apply_updates(state["params"], uw), "ow": ow}, loss
+        return {"params": _o.apply_updates(state["params"], uw), "ow": ow,
+                "step": state["step"] + 1}, loss
 
-    def scst_step(state, key):
-        k1, _ = jax.random.split(key)
-        res = jax.device_get(sample_fn(state["params"], k1))
+    def scst_step(state):
+        res = jax.device_get(sample_fn(state["params"], state["step"]))
         sample_np, greedy_np = res["sample"], res["greedy"]
         sample_dec = [[words(sample_np[i, j][sample_np[i, j] > 3]) for j in range(n_samples)]
                       for i in range(b)]
         base_dec = [[words(greedy_np[i, 0][greedy_np[i, 0] > 3])] for i in range(b)]
         sc_s, sc_b = scorer(refs=gts, sample=sample_dec, baseline=base_dec)
-        rewards = jnp.asarray(sc_s - sc_b, jnp.float32)
-        return grad_fn(state, jnp.asarray(sample_np), rewards, k1)
+        rewards = np.asarray(sc_s - sc_b, np.float32)
+        return grad_fn(state, sample_np, rewards)
 
-    key = jax.random.PRNGKey(4)
     t0 = time.perf_counter()
-    state, loss = scst_step(state, key)
+    state, loss = scst_step(state)
     np.asarray(loss)
     _log(f"scst warmup+compile: {time.perf_counter() - t0:.1f}s")
     n = 6
@@ -280,7 +288,7 @@ def bench_scst_step(jax, jnp, tmp_dir="/tmp/sc_bench"):
     for _trial in range(2):
         t0 = time.perf_counter()
         for i in range(n):
-            state, loss = scst_step(state, jax.random.fold_in(key, i))
+            state, loss = scst_step(state)
         np.asarray(loss)
         best = min(best, time.perf_counter() - t0)
     return n / best

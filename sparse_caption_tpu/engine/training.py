@@ -280,8 +280,17 @@ class TrainingModule:
                 tree,
             )
 
+        # per-step rng derivation happens INSIDE the jit from state.step:
+        # eager host-side split/fold ops are ~3 ms relay dispatches each on
+        # tunneled TPU backends (round-2 XE profile: ~6 ms/step of host gap
+        # from fold_in + convert_element_type). rng=None (the train loop)
+        # takes this path; an explicit key (tests, bench) works unchanged.
+        base_rng = jax.random.PRNGKey(int(self.config.get("seed", 8888)) + 1)
+
         @jax.jit
-        def xe_step(state: TrainState, inputs: Dict, seq_masks, rng):
+        def xe_step(state: TrainState, inputs: Dict, seq_masks, rng=None):
+            if rng is None:
+                rng = jax.random.fold_in(base_rng, state.step)
             k_drop, k_mask, k_ss = jax.random.split(rng, 3)
             if bf16:
                 inputs = dict(inputs, **cast_compute({k: v for k, v in inputs.items() if k != "seqs"}))
@@ -396,8 +405,15 @@ class TrainingModule:
             opt_d = dict(sample_opt, differentiable=True) if differentiable else sample_opt
             return generate(model, variables, memory, opt_d, rng=k_dec)
 
+        # in-jit per-step key derivation (rng=None + step): see make_xe_step —
+        # eager host rng ops cost ~3 ms each through tunneled backends
+        scst_base_rng = jax.random.fold_in(
+            jax.random.PRNGKey(int(self.config.get("seed", 8888)) + 1), 0x5C57)
+
         @jax.jit
-        def sample_fn(variables, inputs, rng):
+        def sample_fn(variables, inputs, rng=None, step=None):
+            if rng is None:
+                rng = jax.random.fold_in(scst_base_rng, step)
             enc_kwargs = {k: v for k, v in inputs.items() if k != "seqs"}
             sample_seq, _ = _train_sample(variables, enc_kwargs, rng)
             out = {"sample": sample_seq}
@@ -424,8 +440,12 @@ class TrainingModule:
         )
 
         @jax.jit
-        def grad_fn(state: TrainState, inputs, sample_seq, rewards, rng):
+        def grad_fn(state: TrainState, inputs, sample_seq, rewards, rng=None):
             """Recompute the sampling decode differentiably, REINFORCE update."""
+            if rng is None:
+                # same derivation as sample_fn at the same (pre-update) step
+                # -> identical policy realization
+                rng = jax.random.fold_in(scst_base_rng, state.step)
             enc_kwargs = {k: v for k, v in inputs.items() if k != "seqs"}
             b, s, t = sample_seq.shape
             flat = jax.lax.stop_gradient(sample_seq).reshape(b * s, t)
@@ -461,10 +481,14 @@ class TrainingModule:
             return state.replace(params=params, masks=masks, opt_w=new_opt_w, opt_m=new_opt_m,
                                  step=state.step + 1), loss
 
-        def scst_step(state: TrainState, batch, rng):
+        def scst_step(state: TrainState, batch, rng=None):
             inputs = self._model_inputs(batch, with_seqs=False)
-            k_sample, _ = jax.random.split(rng)
-            res = sample_fn(self._variables(state), inputs, k_sample)
+            if rng is None:
+                k_sample = None
+                res = sample_fn(self._variables(state), inputs, None, state.step)
+            else:
+                k_sample, _ = jax.random.split(rng)
+                res = sample_fn(self._variables(state), inputs, k_sample)
             sample_seq = res["sample"]  # (B, S, T)
             # one batched device->host transfer (round trips are expensive on
             # tunneled TPU backends)
@@ -479,8 +503,8 @@ class TrainingModule:
                 baseline_decoded = None
             sc_sample, sc_baseline = self.scst_scorer(refs=batch["gts"], sample=sample_decoded,
                                                       baseline=baseline_decoded)
-            rewards = jnp.asarray(sc_sample - sc_baseline, dtype=jnp.float32)
-            # same k_sample as phase 1 -> identical policy realization
+            rewards = np.asarray(sc_sample - sc_baseline, dtype=np.float32)
+            # same key as phase 1 -> identical policy realization
             state, loss = grad_fn(state, inputs, sample_seq, rewards, k_sample)
             return state, loss, {"avg_reward": float(np.mean(sc_sample - sc_baseline)),
                                  "avg_sample": float(np.mean(sc_sample)),
@@ -548,8 +572,13 @@ class TrainingModule:
 
         rewards_op.defvjp(_rw_fwd, _rw_bwd)
 
+        fused_base_rng = jax.random.fold_in(
+            jax.random.PRNGKey(int(self.config.get("seed", 8888)) + 1), 0x5C57)
+
         @jax.jit
-        def fused(state: TrainState, inputs, rng):
+        def fused(state: TrainState, inputs, rng=None):
+            if rng is None:
+                rng = jax.random.fold_in(fused_base_rng, state.step)
             enc_kwargs = {k: v for k, v in inputs.items() if k != "seqs"}
 
             def loss_fn(params, masks):
@@ -588,7 +617,7 @@ class TrainingModule:
             return state.replace(params=params, masks=masks, opt_w=new_opt_w, opt_m=new_opt_m,
                                  step=state.step + 1), loss, avg_reward
 
-        def scst_fused_step(state: TrainState, batch, rng):
+        def scst_fused_step(state: TrainState, batch, rng=None):
             holder["gts"] = batch["gts"]
             inputs = self._model_inputs(batch, with_seqs=False)
             state, loss, avg_reward = fused(state, inputs, rng)
@@ -632,9 +661,10 @@ class TrainingModule:
 
         t0 = time.perf_counter()
         predictions, image_paths = [], []
+        eval_key = jax.random.PRNGKey(0)  # hoisted: one eager key op, not one per batch
         for batch in loader:
             inputs = self._model_inputs(batch, with_seqs=False)
-            seq, _ = decode(variables, inputs, jax.random.PRNGKey(0))
+            seq, _ = decode(variables, inputs, eval_key)
             seq = np.asarray(seq)[: batch["batch_valid"]]
             predictions += [self.tokenizer.decode(seq[i, 0]) for i in range(seq.shape[0])]
             image_paths += batch["image_paths"][: batch["batch_valid"]]
@@ -731,7 +761,6 @@ class TrainingModule:
         scst_step = None
         profile_dir = config.get("profile_dir")
         profile_steps = int(config.get("profile_steps", 10))
-        rng = jax.random.PRNGKey(int(config.get("seed", 8888)) + 1)
         save_every = int(config.get("save_checkpoint_every", 6000))
         log_every = int(config.get("losses_log_every", 25))
         t_start = time.time()
@@ -743,12 +772,14 @@ class TrainingModule:
                 scst_step = (self.make_scst_fused_step() if config.get("scst_fused", False)
                              else self.make_scst_step())
             for batch in self.train_loader:
-                rng, k = jax.random.split(rng)
+                # no per-step host rng: the jitted steps fold their base key
+                # with state.step internally (eager host splits are ~3 ms
+                # relay dispatches each; also exactly resumable this way)
                 if sc_flag:
-                    self.state, loss, aux = scst_step(self.state, batch, k)
+                    self.state, loss, aux = scst_step(self.state, batch)
                 else:
                     inputs = self._model_inputs(batch)
-                    self.state, loss, aux = xe_step(self.state, inputs, jnp.asarray(batch["masks"]), k)
+                    self.state, loss, aux = xe_step(self.state, inputs, np.asarray(batch["masks"]))
                 self.global_step += 1
                 if profile_dir and self.global_step == 2:  # skip compile step
                     jax.profiler.start_trace(profile_dir)
