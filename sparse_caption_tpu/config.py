@@ -112,10 +112,15 @@ def _v0_to_v1(data: dict) -> dict:
 
 
 def list_of_ints(s: str) -> List[int]:
-    """argparse type: '0,0,0,1,1,1' -> [0,0,0,1,1,1] (reference misc.py csv types)."""
+    """argparse type: '0,0,0,1,1,1' -> [0,0,0,1,1,1] (reference misc.py csv
+    types); also accepts the reference command recipes' python-tuple form
+    '(0, 0, 0, 1, 1, 1)' (resources/commands_acort.sh:48)."""
     if not s:
         return []
-    return [int(x) for x in str(s).replace(" ", "").split(",")]
+    s = str(s).replace(" ", "").strip("()[]")
+    if not s:
+        return []
+    return [int(x) for x in s.split(",")]
 
 
 def list_of_floats(s: str) -> List[float]:
