@@ -103,6 +103,11 @@ def main():
         module.state = module.state.replace(params=jax.tree.map(cast, module.state.params))
         save_pytree(ckpt_path.replace(".msgpack", f"_{args.cast}.msgpack"),
                     {"params": module.state.params, "masks": module.state.masks})
+        if args.cast == "bf16":
+            # cast the float INPUTS too (eval_on_split honors eval_cast):
+            # layers adapt weights to the activation dtype, so f32 features
+            # would silently re-promote the encoder back to f32
+            module.config.eval_cast = "bf16"
     loader = module.get_loader(args.split, train=False)
     module.global_step = int(config.get("best_global_step", 0))
     _, scores, out_dir = module.eval_on_split(loader, split=args.split)

@@ -658,12 +658,29 @@ class TrainingModule:
             opt = self._decode_opt(max(beam_size, 1))
         decode = self._cached_decode(f"eval_beam{beam_size}_ns{opt['num_random_sample']}", opt)
         variables = self._variables(self.state)
+        cast_inputs = None
+        if str(config.get("eval_cast", "")) == "bf16":
+            # in-training eval decode in bf16 (same supported precision as
+            # eval_model --cast bf16): ~2x decode throughput on TPU; training
+            # numerics untouched — the cast is eval-only, per call. Float
+            # INPUTS are cast too: layers adapt weights to the activation
+            # dtype (kernel.astype(x.dtype)), so f32 features would silently
+            # re-promote the whole encoder back to f32.
+            def cast_inputs(tree):  # noqa: E731
+                return jax.tree.map(
+                    lambda x: x.astype(jnp.bfloat16)
+                    if hasattr(x, "dtype") and jnp.issubdtype(x.dtype, jnp.floating) else x,
+                    tree)
+
+            variables = cast_inputs(variables)
 
         t0 = time.perf_counter()
         predictions, image_paths = [], []
         eval_key = jax.random.PRNGKey(0)  # hoisted: one eager key op, not one per batch
         for batch in loader:
             inputs = self._model_inputs(batch, with_seqs=False)
+            if cast_inputs is not None:
+                inputs = cast_inputs(inputs)
             seq, _ = decode(variables, inputs, eval_key)
             seq = np.asarray(seq)[: batch["batch_valid"]]
             predictions += [self.tokenizer.decode(seq[i, 0]) for i in range(seq.shape[0])]

@@ -44,6 +44,9 @@ def add_training_args(parser) -> None:
     parser.add_argument("--weight_decay", type=float, default=0.0)
     parser.add_argument("--grad_clip", type=float, default=0.1)
     parser.add_argument("--label_smoothing", type=float, default=0.0)
+    parser.add_argument("--eval_cast", type=str, default="", choices=["", "bf16"],
+                        help="cast params to bf16 for the IN-TRAINING eval decodes "
+                             "(~2x TPU decode throughput; training numerics untouched)")
     parser.add_argument("--train_precision", type=str, default="fp32", choices=["fp32", "bf16"],
                         help="bf16: XE forward/backward matmuls in bfloat16 (the MXU-native "
                              "dtype) with f32 master params/grads/optimizer/losses — standard "
