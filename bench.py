@@ -27,9 +27,10 @@ precision (scripts/eval_model.py --cast bf16) and standard TPU practice.
   the reference's training batch, utils/training.py:396-415) — jitted
   fwd+bwd+both optimizers, fresh Bernoulli mask draw per forward.
 * scst_steps_per_sec: two-phase SCST step at the paper config (batch 5,
-  15 random samples + greedy baseline, commands_pruning.sh:47-70): jitted
+  15 random samples, leave-one-out sample-mean baseline — the reference
+  recipes' SCST_BASELINE="sample", commands_pruning.sh:47-70): jitted
   sampling decode -> host CIDEr-D reward (native C++ scorer) -> jitted
-  REINFORCE update.
+  REINFORCE update with the teacher-forced-replay gradient pass.
 
 ``vs_baseline``: the reference repo publishes no throughput numbers
 (SURVEY §6); the baseline constant below is the estimated single-A100
@@ -219,7 +220,6 @@ def bench_scst_step(jax, jnp, tmp_dir="/tmp/sc_bench"):
     # sampling-pass logprobs
     sample_opt = {"num_random_sample": n_samples, "beam_size": 0, "max_seq_length": t,
                   "temperature": 1.0, "decode_train": True}
-    greedy_opt = {"beam_size": 1, "max_seq_length": t}
 
     def train_sample(params, rng, differentiable):
         v = {"params": params}
@@ -234,10 +234,7 @@ def bench_scst_step(jax, jnp, tmp_dir="/tmp/sc_bench"):
         # per-step key derived in-jit (mirrors engine/training.py): eager
         # host rng ops are ~3 ms relay dispatches each
         rng = jax.random.fold_in(base_rng, step)
-        v = {"params": params}
-        memory_ev = model.apply(v, att, amask, boxes, method="encode")
-        return {"sample": train_sample(params, rng, False)[0],
-                "greedy": generate(model, v, memory_ev, greedy_opt)[0]}
+        return {"sample": train_sample(params, rng, False)[0]}
 
     @jax.jit
     def grad_fn(state, sample_seq, rewards):
@@ -271,11 +268,11 @@ def bench_scst_step(jax, jnp, tmp_dir="/tmp/sc_bench"):
 
     def scst_step(state):
         res = jax.device_get(sample_fn(state["params"], state["step"]))
-        sample_np, greedy_np = res["sample"], res["greedy"]
+        sample_np = res["sample"]
         sample_dec = [[words(sample_np[i, j][sample_np[i, j] > 3]) for j in range(n_samples)]
                       for i in range(b)]
-        base_dec = [[words(greedy_np[i, 0][greedy_np[i, 0] > 3])] for i in range(b)]
-        sc_s, sc_b = scorer(refs=gts, sample=sample_dec, baseline=base_dec)
+        # leave-one-out sample-mean baseline (reference SCST_BASELINE="sample")
+        sc_s, sc_b = scorer(refs=gts, sample=sample_dec, baseline=None)
         rewards = np.asarray(sc_s - sc_b, np.float32)
         return grad_fn(state, sample_np, rewards)
 
