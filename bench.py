@@ -36,7 +36,11 @@ precision (scripts/eval_model.py --cast bf16) and standard TPU practice.
 (SURVEY §6); the baseline constant below is the estimated single-A100
 throughput of the reference PyTorch implementation at beam 5 (batched
 incremental decoding of this architecture), so >1.0 means faster than the
-reference on its own class of hardware.
+reference on its own class of hardware. A MEASURED same-hardware anchor
+exists too: scripts/bench_cpu_vs_reference.py runs both implementations on
+the identical CPU — this framework decodes 2.3x faster than the live
+reference (batch 4: 6.16 vs 2.69 captions/s; batch 16: 8.61 vs 3.77;
+fp32, paper-scale ORT, beam 5).
 """
 
 from __future__ import annotations
