@@ -1,6 +1,8 @@
 """Data pipeline tests: ingestion, splits, batching shapes (parity model:
 reference collate contract, sparse_caption/data/collate.py:153-168)."""
 
+import os
+
 import numpy as np
 import pytest
 
@@ -120,3 +122,39 @@ def test_annotation_file(prepared):
     ann = json.load(open(ds.annotation_file_path()))
     assert len(ann["images"]) == 4  # 2 val + 2 test images
     assert len(ann["annotations"]) == 20
+
+
+REFERENCE_DATA = "/root/reference/tests/data"
+
+
+@pytest.mark.skipif(not os.path.isdir(REFERENCE_DATA), reason="reference mount not available")
+def test_reference_fixture_data_interop(tmp_path):
+    """The data layer consumes the REFERENCE REPO'S OWN fixture artifacts
+    unchanged: its Karpathy-format `dataset_coco_testing.json` (5 real COCO
+    images) and its precomputed bottom-up `.npy` features under
+    `bu/{cocobu_att,cocobu_fc,cocobu_box_relative}` (reference
+    data/mscoco.py:101-103 + collate.py:85-90 layout) — an end-to-end
+    cross-framework dataset-compatibility anchor, real features included."""
+    cfg = Config(dataset="mscoco_testing", dataset_dir=REFERENCE_DATA,
+                 log_dir=str(tmp_path), tokenizer="word", vocab_size=64,
+                 batch_size=2, seq_per_img=5, max_seq_length=16,
+                 max_att_regions=36, att_feat_size=2048,
+                 cache_min_free_ram=1.0)
+    ds = get_dataset("mscoco_testing")(cfg)
+    ds.prepare_data()
+    assert len(ds.get_split("train", generation_mode=True)) >= 2  # train images (+restval fold)
+    assert len(ds.get_split("val", generation_mode=True)) >= 1
+
+    tok = get_tokenizer("word")(cfg)
+    dirs = default_bu_dirs(REFERENCE_DATA)
+    src = FeatureSource(att_dir=dirs["att_dir"], fc_dir=None, box_dir=dirs["box_dir"],
+                        max_regions=36, att_feat_size=2048,
+                        cache=FeatureCache(1.0))
+    batcher = CaptionBatcher(cfg, tok, src)
+    loader = BatchLoader(ds.get_split("train"), batcher, 2, train=True, seed=0)
+    batch = next(iter(loader))
+    assert batch["att_feats"].shape == (2, 36, 2048)
+    assert batch["boxes"].shape == (2, 36, 4)
+    # real features: non-degenerate values
+    assert float(np.abs(batch["att_feats"]).sum()) > 0
+    assert batch["seqs"].shape[0] == 2 * 5
