@@ -147,11 +147,40 @@ def collect_run(run_dir: str) -> Optional[Dict[str, str]]:
     return out
 
 
+def check_compiled_scores(runs_dir: str, compiled_csv: str) -> bool:
+    """Re-derive every run's metrics and verify the previously compiled CSV
+    still matches (reference collect_scores.py:292-311 — guards against
+    stale aggregations after re-evals). Returns True iff consistent."""
+    with open(compiled_csv, newline="") as f:
+        rows = list(csv.DictReader(f))
+    ok = True
+    for row in rows:
+        run_dir = os.path.join(runs_dir, row.get("run", ""))
+        if not os.path.isdir(run_dir):
+            print(f"check: `{row.get('run')}` missing on disk", file=sys.stderr)
+            continue
+        fresh = collect_run(run_dir) or {}
+        for k, v in row.items():
+            if any(k.endswith(m) for m in METRICS) and v:
+                if fresh.get(k, "") != v:
+                    ok = False
+                    print(f"check: MISMATCH {row.get('run')}:{k} compiled={v} fresh={fresh.get(k, '')}",
+                          file=sys.stderr)
+    print(f"check_compiled_scores: {'OK' if ok else 'MISMATCHES FOUND'} ({len(rows)} runs)")
+    return ok
+
+
 def main() -> None:
     p = argparse.ArgumentParser(description=__doc__)
     p.add_argument("--runs_dir", required=True)
     p.add_argument("--output", default="compiled_scores.csv")
+    p.add_argument("--check_compiled_scores", "-c", action="store_true",
+                   help="verify a previously written compiled CSV against the per-run "
+                        "scores.csv files instead of recompiling (reference flag)")
     args = p.parse_args()
+
+    if args.check_compiled_scores:
+        sys.exit(0 if check_compiled_scores(args.runs_dir, args.output) else 1)
 
     results = []
     for entry in sorted(os.listdir(args.runs_dir)):

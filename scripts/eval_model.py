@@ -37,6 +37,9 @@ def parse_args():
     p.add_argument("--temperature", type=float, default=None)
     p.add_argument("--sample_method", type=str, default=None,
                    help="'random' | 'greedy' | 'gumbel' | 'top<k>' | 'top<p>'")
+    p.add_argument("--id", type=str, default="",
+                   help="run name under --log_dir (reference eval_model usage: "
+                        "--log_dir <experiments root> --id <run>); empty = --log_dir IS the run dir")
     p.add_argument("--logging_level", type=str, default="INFO")
     p.add_argument("--platform", type=str, default=None, choices=["cpu", "tpu"])
     p.add_argument("--cast", type=str, default=None, choices=["bf16", "fp16"],
@@ -47,6 +50,8 @@ def parse_args():
 
 def main():
     args = parse_args()
+    if args.id:
+        args.log_dir = os.path.join(args.log_dir, args.id)
     configure_logging(args.logging_level)
     from sparse_caption_tpu.utils.jax_setup import select_platform
 

@@ -71,6 +71,19 @@ def test_collect_scores(tmp_path):
     assert by_run["run_a"]["attention_params"] == "300"
     assert by_run["run_a"]["embedding_params"] == "300"
     assert os.path.isfile(out.replace(".csv", "_100x.csv"))
+    # --check_compiled_scores (reference collect_scores.py:292-311): fresh
+    # re-derivation matches the compiled CSV; corrupting a score fails it
+    r = subprocess.run([sys.executable, os.path.join(SCRIPTS, "collect_scores.py"),
+                        "--runs_dir", str(tmp_path), "--output", out, "--check_compiled_scores"],
+                       capture_output=True, text=True)
+    assert r.returncode == 0, r.stderr
+    bad = open(out).read().replace("1.100", "9.999")
+    open(out, "w").write(bad)
+    r = subprocess.run([sys.executable, os.path.join(SCRIPTS, "collect_scores.py"),
+                        "--runs_dir", str(tmp_path), "--output", out, "--check_compiled_scores"],
+                       capture_output=True, text=True)
+    assert r.returncode == 1
+    assert "MISMATCH" in r.stderr
 
 
 def test_collect_captions_plus_with_sheets(tmp_path):
