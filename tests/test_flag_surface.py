@@ -1,0 +1,54 @@
+"""Flag-surface completeness vs the reference CLIs.
+
+Extracts every ``--flag`` literal from the reference's Python sources and
+asserts each one either exists in this framework's sources or is on the
+explicit, justified exception list below. Guards the 'a reference user
+finds everything they need' contract at the CLI level.
+"""
+
+import os
+import re
+
+import pytest
+
+REFERENCE = "/root/reference"
+REPO = os.path.join(os.path.dirname(__file__), "..")
+
+pytestmark = pytest.mark.skipif(not os.path.isdir(REFERENCE), reason="reference mount not available")
+
+# flags intentionally absent, with the reason (documented deltas)
+EXCEPTIONS = {
+    "--gpus": "CUDA device selection; TPU/JAX uses --platform / --mesh_shape",
+    "--cache_dir": "reference multiprocessing cache dir; the RAM cache here is in-process",
+    "--num_gpus": "as --gpus",
+    "--load_as_float16": "superseded by eval_model --cast {bf16,fp16} (bf16 is the TPU dtype)",
+    "--images_root": "legacy prepro_labels.py (unused upstream)",
+    "--output_h5": "legacy prepro_labels.py (h5 label store; labels are tokenized on the fly here)",
+    "--output_json": "legacy prepro_labels.py (unused upstream)",
+    "--max_length": "legacy prepro_labels.py (superseded by --max_seq_length)",
+    "--word_count_threshold": "legacy prepro_labels.py; word tokenizer applies vocab_size instead",
+    "--reduce_on_plateau": "declared but not implemented in the reference (opts.py dead flag)",
+    "--skip_check_train_file": "reference tokenizer-cache guard; tokenizer artifacts are rebuilt deterministically here",
+}
+
+
+def _flags(root, subdirs):
+    out = set()
+    for sub in subdirs:
+        for dirpath, dirnames, filenames in os.walk(os.path.join(root, sub)):
+            dirnames[:] = [d for d in dirnames if d not in ("coco_caption", "__pycache__", ".git")]
+            for fn in filenames:
+                if fn.endswith(".py"):
+                    with open(os.path.join(dirpath, fn), errors="ignore") as f:
+                        out.update(re.findall(r'"(--[a-z_0-9]+)"', f.read()))
+    return out
+
+
+def test_every_reference_flag_is_covered():
+    ref = _flags(REFERENCE, ["sparse_caption", "scripts"])
+    ours = _flags(REPO, ["sparse_caption_tpu", "scripts"])
+    missing = sorted(f for f in ref if f not in ours and f not in EXCEPTIONS)
+    assert not missing, f"reference flags with no counterpart or documented exception: {missing}"
+    # exceptions list stays honest: drop entries that became implemented
+    stale = sorted(f for f in EXCEPTIONS if f in ours)
+    assert not stale, f"EXCEPTIONS now implemented, remove: {stale}"
