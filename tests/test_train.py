@@ -215,3 +215,43 @@ def test_train_scst_fused(mode, baseline, fixture_dataset, tmp_path):
                                          "--scst_fused"])
     module = run_train(argv)
     assert os.path.isfile(os.path.join(module.config.log_dir, "model_last.msgpack"))
+
+
+def test_resume_training_continues_from_last_checkpoint(fixture_dataset, tmp_path):
+    """Failure recovery (reference utils/training.py:160-178 + opts
+    --resume_training): a second invocation with --start_from <run dir> +
+    --resume_training restores model_last + optimizer state and continues
+    at the saved global step instead of restarting from scratch."""
+    import numpy as np
+
+    run_a = tiny_args(fixture_dataset, tmp_path / "runA", "transformer", TINY_TRANSFORMER)
+    mod_a = run_train(run_a)
+    steps_a = mod_a.global_step
+    assert steps_a > 0
+    assert os.path.isfile(os.path.join(mod_a.config.log_dir, "optimizer_last.msgpack"))
+    params_a = mod_a.state.params
+
+    # "crash and restart": fresh process state, same run resumed for 1 more epoch
+    run_b = tiny_args(fixture_dataset, tmp_path / "runB", "transformer",
+                      TINY_TRANSFORMER + ["--start_from", mod_a.config.log_dir,
+                                          "--resume_training"])
+    args = parse_opt(run_b)
+    config = Config(**vars(args))
+    from sparse_caption_tpu.engine.training import TrainingModule
+
+    mod_b = TrainingModule(config)
+    mod_b.prepare()
+    mod_b.init_state()
+    restored = mod_b.maybe_load_checkpoint()
+    assert restored
+    # optimizer step counter resumed -> training continues, not restarts
+    assert mod_b.global_step == steps_a
+    # restored params equal the saved ones (not a fresh init)
+    import jax
+
+    d = jax.tree.map(lambda a, b: float(abs(np.asarray(a) - np.asarray(b)).max()),
+                     params_a, mod_b.state.params)
+    assert max(jax.tree_util.tree_leaves(d)) < 1e-6
+    mod_b.config.config_overwrite = True  # train() re-runs prepare() on the same dir
+    mod_b.train()
+    assert mod_b.global_step == 2 * steps_a  # one more epoch on top
