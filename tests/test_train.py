@@ -255,3 +255,16 @@ def test_resume_training_continues_from_last_checkpoint(fixture_dataset, tmp_pat
     mod_b.config.config_overwrite = True  # train() re-runs prepare() on the same dir
     mod_b.train()
     assert mod_b.global_step == 2 * steps_a  # one more epoch on top
+
+
+def test_profile_dir_writes_trace(fixture_dataset, tmp_path):
+    """Observability: --profile_dir captures a jax.profiler trace of steps
+    2..2+profile_steps (engine/training.py train loop; SURVEY §5 tracing)."""
+    import glob
+
+    argv = tiny_args(fixture_dataset, tmp_path, "transformer",
+                     TINY_TRANSFORMER + ["--profile_dir", str(tmp_path / "prof"),
+                                         "--profile_steps", "2"])
+    run_train(argv)
+    traces = glob.glob(str(tmp_path / "prof" / "**" / "*.trace.json.gz"), recursive=True)
+    assert traces, "no profiler trace written"
