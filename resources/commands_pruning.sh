@@ -1,326 +1,118 @@
 #!/usr/bin/env bash
-# Reproduction recipes for the pruning experiment matrix
-# (capability parity: reference resources/commands_pruning.sh:1-371 —
-# same models, prune types, sparsity targets, supermask weights, and SCST
-# fine-tuning stages, on this framework's CLI).
+# Reproduction recipes for the pruning experiment matrix of the paper
+# (capability parity: reference resources/commands_pruning.sh — identical
+# models, prune types, sparsity targets, supermask loss weights, and SCST
+# fine-tuning stages, expressed as one parameterized loop over both model
+# families on this framework's CLI).
 #
-# Set LOG_DIR / DATASET_DIR for your machine. Every command runs on a
-# single TPU chip by default; add `--mesh_shape 4,2` (data=4 x model=2)
-# to shard across a slice.
+# Set LOG_DIR / DATASET_DIR. Single chip by default; add
+# `--mesh_shape 4,2` (data x model) to shard over a TPU slice.
 set -e
 
 LOG_DIR="${LOG_DIR:-runs/mscoco_v1}"
 DATASET_DIR="${DATASET_DIR:-/datasets/mscoco}"
 CACHE_FREE_RAM=0.3
+TARGETS="0.9875 0.975 0.95"
 
-### Collect scores ###
-# python scripts/collect_scores.py --log_dir ${LOG_DIR}
+# family table: model_type:model_id:scheduler:extra-lr-flags:dropout-flag
+FAMILIES=(
+    "up_down_lstm:UpDownLSTM:cosine:lr0.01:drop_prob_lm"
+    "relation_transformer:RTrans:noam:default:drop_prob_src"
+)
 
-### Eval a finished run ###
-# python scripts/eval_model.py --log_dir ${LOG_DIR}/RTrans__supermask__0.9875 \
-#     --split test --beam_size 2 --cast bf16
+lr_flags() {  # per-family optimizer settings
+    [ "$1" = "lr0.01" ] && echo "--learning_rate 0.01 --optim_epsilon 0.01" || echo ""
+}
 
-######################
-# Up-Down LSTM
-######################
+for FAM in "${FAMILIES[@]}"; do
+    IFS=: read -r MODEL_TYPE MODEL_ID SCHEDULER LRKIND DROPFLAG <<< "${FAM}"
+    LR=$(lr_flags "${LRKIND}")
+    PRUNE_TYPE_MODEL="${MODEL_TYPE}_prune"
+    BASE_DIR="${LOG_DIR}/${MODEL_ID}__baseline"
 
-MODEL_TYPE="up_down_lstm"
-MODEL_ID="UpDownLSTM"
-SCHEDULER="cosine"
+    ## 1) dense baseline
+    python scripts/train_transformer.py \
+        --caption_model "${MODEL_TYPE}" --dataset_dir "${DATASET_DIR}" --log_dir "${LOG_DIR}" \
+        --lr_scheduler "${SCHEDULER}" ${LR} \
+        --id "${MODEL_ID}__baseline" --cache_min_free_ram ${CACHE_FREE_RAM}
 
-# Baseline dense
-python scripts/train_transformer.py \
-    --caption_model ${MODEL_TYPE} \
-    --dataset_dir ${DATASET_DIR} \
-    --log_dir ${LOG_DIR} \
-    --lr_scheduler ${SCHEDULER} \
-    --learning_rate 0.01 \
-    --optim_epsilon 0.01 \
-    --id ${MODEL_ID}__baseline \
-    --cache_min_free_ram ${CACHE_FREE_RAM}
-
-# SCST fine-tune from the dense baseline
-BASELINE="${LOG_DIR}/${MODEL_ID}__baseline/model_best.msgpack"
-python scripts/train_transformer.py \
-    --caption_model ${MODEL_TYPE} \
-    --dataset_dir ${DATASET_DIR} \
-    --log_dir ${LOG_DIR} \
-    --start_from ${BASELINE} \
-    --lr_scheduler step \
-    --learning_rate 5e-5 \
-    --learning_rate_decay_start -1 \
-    --batch_size 5 \
-    --max_epochs 10 \
-    --drop_prob_lm 0.1 \
-    --losses_log_every 75 \
-    --scst_start_epoch 0 \
-    --scst_num_samples 15 \
-    --scst_sample random \
-    --scst_baseline sample \
-    --scst_bleu_weight 0,0,0,1 \
-    --id ${MODEL_ID}__baseline__SCST_random_sample_s15_e10_C1B0001 \
-    --cache_min_free_ram ${CACHE_FREE_RAM}
-
-# Pruning: supermask sweep (sparsity x loss weight)
-MODEL_TYPE="up_down_lstm_prune"
-for PRUNE_SPARSITY_TARGET in 0.9875 0.975 0.95; do
-    for PRUNE_WEIGHT in 40 80 120; do
-        python scripts/train_n_prune_transformer.py \
-            --caption_model ${MODEL_TYPE} \
-            --dataset_dir ${DATASET_DIR} \
-            --log_dir ${LOG_DIR} \
-            --lr_scheduler ${SCHEDULER} \
-            --learning_rate 0.01 \
-            --optim_epsilon 0.01 \
-            --drop_prob_lm 0.1 \
-            --prune_type supermask \
-            --prune_sparsity_target ${PRUNE_SPARSITY_TARGET} \
-            --prune_supermask_sparsity_weight ${PRUNE_WEIGHT} \
-            --id ${MODEL_ID}__supermask__${PRUNE_SPARSITY_TARGET}__wg_${PRUNE_WEIGHT} \
-            --cache_min_free_ram ${CACHE_FREE_RAM}
-    done
-done
-
-# Gradual magnitude + SNIP (train from scratch)
-for PRUNE_TYPE in mag_grad_uniform snip; do
-    for PRUNE_SPARSITY_TARGET in 0.9875 0.975 0.95; do
-        python scripts/train_n_prune_transformer.py \
-            --caption_model ${MODEL_TYPE} \
-            --dataset_dir ${DATASET_DIR} \
-            --log_dir ${LOG_DIR} \
-            --lr_scheduler ${SCHEDULER} \
-            --learning_rate 0.01 \
-            --optim_epsilon 0.01 \
-            --drop_prob_lm 0.1 \
-            --prune_type ${PRUNE_TYPE} \
-            --prune_sparsity_target ${PRUNE_SPARSITY_TARGET} \
-            --id ${MODEL_ID}__${PRUNE_TYPE}__${PRUNE_SPARSITY_TARGET} \
-            --cache_min_free_ram ${CACHE_FREE_RAM}
-    done
-done
-
-# One-shot magnitude (fine-tune from the dense baseline, 10 epochs)
-BASELINE_DIR="${LOG_DIR}/${MODEL_ID}__baseline"
-for PRUNE_TYPE in mag_blind mag_uniform mag_dist; do
-    for PRUNE_SPARSITY_TARGET in 0.9875 0.975 0.95; do
-        python scripts/train_n_prune_transformer.py \
-            --caption_model ${MODEL_TYPE} \
-            --dataset_dir ${DATASET_DIR} \
-            --start_from ${BASELINE_DIR} \
-            --log_dir ${LOG_DIR} \
-            --max_epochs 10 \
-            --lr_scheduler ${SCHEDULER} \
-            --learning_rate 0.01 \
-            --optim_epsilon 0.01 \
-            --drop_prob_lm 0.1 \
-            --prune_type ${PRUNE_TYPE} \
-            --prune_sparsity_target ${PRUNE_SPARSITY_TARGET} \
-            --id ${MODEL_ID}__${PRUNE_TYPE}__${PRUNE_SPARSITY_TARGET} \
-            --cache_min_free_ram ${CACHE_FREE_RAM}
-    done
-done
-
-# Lottery ticket: rewind to init with the magnitude mask
-for PRUNE_SPARSITY_TARGET in 0.9875 0.975 0.95; do
-    python scripts/train_n_prune_transformer.py \
-        --caption_model ${MODEL_TYPE} \
-        --dataset_dir ${DATASET_DIR} \
-        --start_from ${BASELINE_DIR} \
-        --log_dir ${LOG_DIR} \
-        --lr_scheduler ${SCHEDULER} \
-        --learning_rate 0.01 \
-        --optim_epsilon 0.01 \
-        --drop_prob_lm 0.1 \
-        --prune_type lottery_mag_uniform \
-        --prune_sparsity_target ${PRUNE_SPARSITY_TARGET} \
-        --id ${MODEL_ID}__lottery_mag_uniform__${PRUNE_SPARSITY_TARGET} \
+    ## 2) SCST fine-tune of the dense baseline (paper SCST config: random
+    ##    sampling, leave-one-out sample-mean baseline, BLEU-4 mixed in)
+    python scripts/train_transformer.py \
+        --caption_model "${MODEL_TYPE}" --dataset_dir "${DATASET_DIR}" --log_dir "${LOG_DIR}" \
+        --start_from "${BASE_DIR}/model_best.msgpack" \
+        --lr_scheduler step --learning_rate 5e-5 --learning_rate_decay_start -1 \
+        --batch_size 5 --max_epochs 10 --"${DROPFLAG}" 0.1 --losses_log_every 75 \
+        --scst_start_epoch 0 --scst_num_samples 15 --scst_sample random \
+        --scst_baseline sample --scst_bleu_weight 0,0,0,1 \
+        --id "${MODEL_ID}__baseline__SCST_random_sample_s15_e10_C1B0001" \
         --cache_min_free_ram ${CACHE_FREE_RAM}
-done
 
-# Lottery with frozen gradual-pruning masks
-GRAD_BASE="${LOG_DIR}/${MODEL_ID}__mag_grad_uniform"
-for PRUNE_SPARSITY_TARGET in 0.9875 0.975 0.95; do
-    python scripts/train_n_prune_transformer.py \
-        --caption_model ${MODEL_TYPE} \
-        --dataset_dir ${DATASET_DIR} \
-        --start_from ${GRAD_BASE}__${PRUNE_SPARSITY_TARGET} \
-        --log_dir ${LOG_DIR} \
-        --lr_scheduler ${SCHEDULER} \
-        --learning_rate 0.01 \
-        --optim_epsilon 0.01 \
-        --drop_prob_lm 0.1 \
-        --prune_type lottery_mask_freeze \
-        --prune_sparsity_target ${PRUNE_SPARSITY_TARGET} \
-        --id ${MODEL_ID}__lottery_mask_freeze__${PRUNE_SPARSITY_TARGET} \
-        --cache_min_free_ram ${CACHE_FREE_RAM}
-done
-
-# SCST fine-tune with the binarized supermask frozen
-PRUNE_SPARSITY_TARGET=0.991
-BIN_BASE="${LOG_DIR}/${MODEL_ID}__supermask__${PRUNE_SPARSITY_TARGET}__wg_120/model_best_bin_mask.msgpack"
-python scripts/train_n_prune_transformer.py \
-    --caption_model ${MODEL_TYPE} \
-    --dataset_dir ${DATASET_DIR} \
-    --log_dir ${LOG_DIR} \
-    --start_from ${BIN_BASE} \
-    --lr_scheduler step \
-    --learning_rate 5e-5 \
-    --learning_rate_decay_start -1 \
-    --batch_size 5 \
-    --max_epochs 10 \
-    --drop_prob_lm 0.1 \
-    --prune_type mask_freeze \
-    --prune_sparsity_target ${PRUNE_SPARSITY_TARGET} \
-    --losses_log_every 75 \
-    --scst_start_epoch 0 \
-    --scst_num_samples 60 \
-    --scst_sample random \
-    --scst_baseline sample \
-    --scst_bleu_weight 0,0,0,1 \
-    --id ${MODEL_ID}__supermask__${PRUNE_SPARSITY_TARGET}__SCST_random_sample_s60_e10_C1B0001 \
-    --cache_min_free_ram ${CACHE_FREE_RAM}
-
-######################
-# Relation Transformer (ORT)
-######################
-
-MODEL_TYPE="relation_transformer"
-MODEL_ID="RTrans"
-SCHEDULER="noam"
-
-# Baseline dense
-python scripts/train_transformer.py \
-    --caption_model ${MODEL_TYPE} \
-    --dataset_dir ${DATASET_DIR} \
-    --log_dir ${LOG_DIR} \
-    --lr_scheduler ${SCHEDULER} \
-    --id ${MODEL_ID}__baseline \
-    --cache_min_free_ram ${CACHE_FREE_RAM}
-
-# SCST fine-tune (the dense-transformer two-phase step uses the
-# teacher-forced-replay gradient pass automatically)
-BASELINE="${LOG_DIR}/${MODEL_ID}__baseline/model_best.msgpack"
-python scripts/train_transformer.py \
-    --caption_model ${MODEL_TYPE} \
-    --dataset_dir ${DATASET_DIR} \
-    --log_dir ${LOG_DIR} \
-    --start_from ${BASELINE} \
-    --lr_scheduler step \
-    --learning_rate 5e-5 \
-    --learning_rate_decay_start -1 \
-    --batch_size 5 \
-    --max_epochs 10 \
-    --drop_prob_src 0.1 \
-    --losses_log_every 75 \
-    --scst_start_epoch 0 \
-    --scst_num_samples 15 \
-    --scst_sample random \
-    --scst_baseline sample \
-    --scst_bleu_weight 0,0,0,1 \
-    --id ${MODEL_ID}__baseline__SCST_random_sample_s15_e10_C1B0001 \
-    --cache_min_free_ram ${CACHE_FREE_RAM}
-
-# Pruning sweeps (same matrix as Up-Down above)
-MODEL_TYPE="relation_transformer_prune"
-BASELINE_DIR="${LOG_DIR}/${MODEL_ID}__baseline"
-for PRUNE_SPARSITY_TARGET in 0.9875 0.975 0.95; do
-    for PRUNE_WEIGHT in 40 80 120; do
+    ## 3) supermask sweep: sparsity x sparsity-loss weight
+    for T in ${TARGETS}; do for W in 40 80 120; do
         python scripts/train_n_prune_transformer.py \
-            --caption_model ${MODEL_TYPE} \
-            --dataset_dir ${DATASET_DIR} \
-            --log_dir ${LOG_DIR} \
-            --lr_scheduler ${SCHEDULER} \
-            --drop_prob_src 0.1 \
-            --prune_type supermask \
-            --prune_sparsity_target ${PRUNE_SPARSITY_TARGET} \
-            --prune_supermask_sparsity_weight ${PRUNE_WEIGHT} \
-            --id ${MODEL_ID}__supermask__${PRUNE_SPARSITY_TARGET}__wg_${PRUNE_WEIGHT} \
-            --cache_min_free_ram ${CACHE_FREE_RAM}
+            --caption_model "${PRUNE_TYPE_MODEL}" --dataset_dir "${DATASET_DIR}" --log_dir "${LOG_DIR}" \
+            --lr_scheduler "${SCHEDULER}" ${LR} --"${DROPFLAG}" 0.1 \
+            --prune_type supermask --prune_sparsity_target "${T}" \
+            --prune_supermask_sparsity_weight "${W}" \
+            --id "${MODEL_ID}__supermask__${T}__wg_${W}" --cache_min_free_ram ${CACHE_FREE_RAM}
+    done; done
+
+    ## 4) gradual magnitude + SNIP, trained from scratch
+    for PT in mag_grad_uniform snip; do for T in ${TARGETS}; do
+        python scripts/train_n_prune_transformer.py \
+            --caption_model "${PRUNE_TYPE_MODEL}" --dataset_dir "${DATASET_DIR}" --log_dir "${LOG_DIR}" \
+            --lr_scheduler "${SCHEDULER}" ${LR} --"${DROPFLAG}" 0.1 \
+            --prune_type "${PT}" --prune_sparsity_target "${T}" \
+            --id "${MODEL_ID}__${PT}__${T}" --cache_min_free_ram ${CACHE_FREE_RAM}
+    done; done
+
+    ## 5) one-shot magnitude, fine-tuned 10 epochs from the dense baseline
+    for PT in mag_blind mag_uniform mag_dist; do for T in ${TARGETS}; do
+        python scripts/train_n_prune_transformer.py \
+            --caption_model "${PRUNE_TYPE_MODEL}" --dataset_dir "${DATASET_DIR}" --log_dir "${LOG_DIR}" \
+            --start_from "${BASE_DIR}" --max_epochs 10 \
+            --lr_scheduler "${SCHEDULER}" ${LR} --"${DROPFLAG}" 0.1 \
+            --prune_type "${PT}" --prune_sparsity_target "${T}" \
+            --id "${MODEL_ID}__${PT}__${T}" --cache_min_free_ram ${CACHE_FREE_RAM}
+    done; done
+
+    ## 6) lottery tickets: rewind-to-init with the magnitude mask, and
+    ##    frozen gradual-pruning masks
+    for T in ${TARGETS}; do
+        python scripts/train_n_prune_transformer.py \
+            --caption_model "${PRUNE_TYPE_MODEL}" --dataset_dir "${DATASET_DIR}" --log_dir "${LOG_DIR}" \
+            --start_from "${BASE_DIR}" \
+            --lr_scheduler "${SCHEDULER}" ${LR} --"${DROPFLAG}" 0.1 \
+            --prune_type lottery_mag_uniform --prune_sparsity_target "${T}" \
+            --id "${MODEL_ID}__lottery_mag_uniform__${T}" --cache_min_free_ram ${CACHE_FREE_RAM}
+        python scripts/train_n_prune_transformer.py \
+            --caption_model "${PRUNE_TYPE_MODEL}" --dataset_dir "${DATASET_DIR}" --log_dir "${LOG_DIR}" \
+            --start_from "${LOG_DIR}/${MODEL_ID}__mag_grad_uniform__${T}" \
+            --lr_scheduler "${SCHEDULER}" ${LR} --"${DROPFLAG}" 0.1 \
+            --prune_type lottery_mask_freeze --prune_sparsity_target "${T}" \
+            --id "${MODEL_ID}__lottery_mask_freeze__${T}" --cache_min_free_ram ${CACHE_FREE_RAM}
     done
 done
 
-for PRUNE_TYPE in mag_grad_uniform snip; do
-    for PRUNE_SPARSITY_TARGET in 0.9875 0.975 0.95; do
-        python scripts/train_n_prune_transformer.py \
-            --caption_model ${MODEL_TYPE} \
-            --dataset_dir ${DATASET_DIR} \
-            --log_dir ${LOG_DIR} \
-            --lr_scheduler ${SCHEDULER} \
-            --drop_prob_src 0.1 \
-            --prune_type ${PRUNE_TYPE} \
-            --prune_sparsity_target ${PRUNE_SPARSITY_TARGET} \
-            --id ${MODEL_ID}__${PRUNE_TYPE}__${PRUNE_SPARSITY_TARGET} \
-            --cache_min_free_ram ${CACHE_FREE_RAM}
-    done
-done
-
-for PRUNE_TYPE in mag_blind mag_uniform mag_dist; do
-    for PRUNE_SPARSITY_TARGET in 0.9875 0.975 0.95; do
-        python scripts/train_n_prune_transformer.py \
-            --caption_model ${MODEL_TYPE} \
-            --dataset_dir ${DATASET_DIR} \
-            --start_from ${BASELINE_DIR} \
-            --log_dir ${LOG_DIR} \
-            --max_epochs 10 \
-            --lr_scheduler ${SCHEDULER} \
-            --drop_prob_src 0.1 \
-            --prune_type ${PRUNE_TYPE} \
-            --prune_sparsity_target ${PRUNE_SPARSITY_TARGET} \
-            --id ${MODEL_ID}__${PRUNE_TYPE}__${PRUNE_SPARSITY_TARGET} \
-            --cache_min_free_ram ${CACHE_FREE_RAM}
-    done
-done
-
-for PRUNE_SPARSITY_TARGET in 0.9875 0.975 0.95; do
+## 7) sparse SCST: fine-tune with the BINARIZED supermask frozen
+##    (UpDown at 0.991/wg120 with 60 samples; RTrans at 0.9875/wg80 with 15
+##    — the published model-size results)
+scst_mask_freeze() {  # model_type id_prefix target wg samples dropflag
     python scripts/train_n_prune_transformer.py \
-        --caption_model ${MODEL_TYPE} \
-        --dataset_dir ${DATASET_DIR} \
-        --start_from ${BASELINE_DIR} \
-        --log_dir ${LOG_DIR} \
-        --lr_scheduler ${SCHEDULER} \
-        --drop_prob_src 0.1 \
-        --prune_type lottery_mag_uniform \
-        --prune_sparsity_target ${PRUNE_SPARSITY_TARGET} \
-        --id ${MODEL_ID}__lottery_mag_uniform__${PRUNE_SPARSITY_TARGET} \
+        --caption_model "$1_prune" --dataset_dir "${DATASET_DIR}" --log_dir "${LOG_DIR}" \
+        --start_from "${LOG_DIR}/$2__supermask__$3__wg_$4/model_best_bin_mask.msgpack" \
+        --lr_scheduler step --learning_rate 5e-5 --learning_rate_decay_start -1 \
+        --batch_size 5 --max_epochs 10 --"$6" 0.1 --losses_log_every 75 \
+        --prune_type mask_freeze --prune_sparsity_target "$3" \
+        --scst_start_epoch 0 --scst_num_samples "$5" --scst_sample random \
+        --scst_baseline sample --scst_bleu_weight 0,0,0,1 \
+        --id "$2__supermask__$3__SCST_random_sample_s$5_e10_C1B0001" \
         --cache_min_free_ram ${CACHE_FREE_RAM}
-done
+}
+scst_mask_freeze up_down_lstm UpDownLSTM 0.991 120 60 drop_prob_lm
+scst_mask_freeze relation_transformer RTrans 0.9875 80 15 drop_prob_src
 
-GRAD_BASE="${LOG_DIR}/${MODEL_ID}__mag_grad_uniform"
-for PRUNE_SPARSITY_TARGET in 0.9875 0.975 0.95; do
-    python scripts/train_n_prune_transformer.py \
-        --caption_model ${MODEL_TYPE} \
-        --dataset_dir ${DATASET_DIR} \
-        --start_from ${GRAD_BASE}__${PRUNE_SPARSITY_TARGET} \
-        --log_dir ${LOG_DIR} \
-        --lr_scheduler ${SCHEDULER} \
-        --drop_prob_src 0.1 \
-        --prune_type lottery_mask_freeze \
-        --prune_sparsity_target ${PRUNE_SPARSITY_TARGET} \
-        --id ${MODEL_ID}__lottery_mask_freeze__${PRUNE_SPARSITY_TARGET} \
-        --cache_min_free_ram ${CACHE_FREE_RAM}
-done
-
-# SCST with the binarized supermask frozen
-PRUNE_SPARSITY_TARGET=0.9875
-BIN_BASE="${LOG_DIR}/${MODEL_ID}__supermask__${PRUNE_SPARSITY_TARGET}__wg_80/model_best_bin_mask.msgpack"
-python scripts/train_n_prune_transformer.py \
-    --caption_model ${MODEL_TYPE} \
-    --dataset_dir ${DATASET_DIR} \
-    --log_dir ${LOG_DIR} \
-    --start_from ${BIN_BASE} \
-    --lr_scheduler step \
-    --learning_rate 5e-5 \
-    --learning_rate_decay_start -1 \
-    --batch_size 5 \
-    --max_epochs 10 \
-    --drop_prob_src 0.1 \
-    --prune_type mask_freeze \
-    --prune_sparsity_target ${PRUNE_SPARSITY_TARGET} \
-    --losses_log_every 75 \
-    --scst_start_epoch 0 \
-    --scst_num_samples 15 \
-    --scst_sample random \
-    --scst_baseline sample \
-    --scst_bleu_weight 0,0,0,1 \
-    --id ${MODEL_ID}__supermask__${PRUNE_SPARSITY_TARGET}__SCST_random_sample_s15_e10_C1B0001 \
-    --cache_min_free_ram ${CACHE_FREE_RAM}
+## aggregate + sanity-check results
+# python scripts/collect_scores.py --runs_dir "${LOG_DIR}"
+# python scripts/collect_scores.py --runs_dir "${LOG_DIR}" --check_compiled_scores
