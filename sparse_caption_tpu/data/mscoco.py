@@ -44,7 +44,7 @@ class MscocoDataset(KarpathyDataset):
     # official val2014 annotation archive (reference mscoco.py:50-59 fetches
     # it when captions_val2014.json is absent; --dataset_archive_url-style
     # override via --annotations_archive_url, incl. file:// for air-gapped)
-    ANNOTATIONS_URL = "http://images.cocodataset.org/annotations/annotations_trainval2014.zip"
+    ANNOTATIONS_URL = "https://images.cocodataset.org/annotations/annotations_trainval2014.zip"
 
     def annotation_file_path(self) -> str:
         """Prefer the OFFICIAL captions_val2014.json (the reference's metric

@@ -293,7 +293,14 @@ class TrainingModule:
                 rng = jax.random.fold_in(base_rng, state.step)
             k_drop, k_mask, k_ss = jax.random.split(rng, 3)
             if bf16:
-                inputs = dict(inputs, **cast_compute({k: v for k, v in inputs.items() if k != "seqs"}))
+                # "boxes" stays f32: box_relational_embedding's x100-scaled
+                # trig args amplify bf16 coordinate rounding (~2^-9) into
+                # multi-radian errors for nearby box pairs (the same
+                # degeneration the f32-geometry path in layers.py guards
+                # against). Geometry computes f32 and casts its OUTPUT to the
+                # activation dtype, so keeping boxes f32 costs nothing.
+                inputs = dict(inputs, **cast_compute(
+                    {k: v for k, v in inputs.items() if k not in ("seqs", "boxes")}))
 
             def forward(params, masks):
                 variables = {"params": cast_compute(params) if bf16 else params}
@@ -665,14 +672,22 @@ class TrainingModule:
             # numerics untouched — the cast is eval-only, per call. Float
             # INPUTS are cast too: layers adapt weights to the activation
             # dtype (kernel.astype(x.dtype)), so f32 features would silently
-            # re-promote the whole encoder back to f32.
-            def cast_inputs(tree):  # noqa: E731
+            # re-promote the whole encoder back to f32. Two exceptions stay
+            # f32: supermask scores (rounding can flip borderline
+            # threshold/top-k decisions, silently changing the deployed mask
+            # pattern — ops/masked.py casts the 0/1 product, not the score)
+            # and "boxes" (bf16 coordinates degenerate the x100-scaled
+            # geometry trig; see the train-path note above).
+            def _cast_tree(tree):
                 return jax.tree.map(
                     lambda x: x.astype(jnp.bfloat16)
                     if hasattr(x, "dtype") and jnp.issubdtype(x.dtype, jnp.floating) else x,
                     tree)
 
-            variables = cast_inputs(variables)
+            def cast_inputs(tree):  # noqa: E731
+                return dict(tree, **_cast_tree({k: v for k, v in tree.items() if k != "boxes"}))
+
+            variables = dict(variables, params=_cast_tree(variables["params"]))
 
         t0 = time.perf_counter()
         predictions, image_paths = [], []
@@ -715,7 +730,9 @@ class TrainingModule:
         csv_append_row(
             os.path.join(out_dir, "scores.csv"),
             ["Step"] + self.ALL_METRICS,
-            [f"{self.global_step:08d}"] + [f"{scores.get(k, float('nan')):.3f}" for k in self.ALL_METRICS],
+            [f"{self.global_step:08d}"]
+            + [f"{v:.3f}" if isinstance(v := scores.get(k, float("nan")), (int, float)) else str(v)
+               for k in self.ALL_METRICS],
         )
         return predictions, scores, out_dir
 
@@ -837,7 +854,8 @@ class TrainingModule:
         predictions, scores, _ = self.eval_on_split(self.val_loader, split="val")
         if scores:
             for k, v in scores.items():
-                self.tb.add_scalar(f"val/{k}", v, self.global_step)
+                if isinstance(v, (int, float)):  # skip "skipped (...)" markers
+                    self.tb.add_scalar(f"val/{k}", v, self.global_step)
         self.save_checkpoint("last")
         if scores and scores.get("CIDEr", 0.0) > self.best_val_score and self.allow_best_checkpoint():
             self.best_val_score = scores["CIDEr"]

@@ -65,11 +65,17 @@ def evaluate_captions(gts_raw: Dict[int, List[dict]], res_raw: Dict[int, List[di
         scores["METEOR"] = m_mean
         for idx, i in enumerate(ids):
             per_image[i]["METEOR"] = float(m_per[idx])
+    else:
+        # explicit marker rather than a silently absent key, so downstream
+        # score JSONs distinguish "not run" from "score of 0"
+        scores["METEOR"] = "skipped (jar unavailable)"
     if spice_mod.is_available():
         s_mean, s_per = spice_mod.Spice().compute_score(gts_tok, res_tok)
         scores["SPICE"] = s_mean
         for idx, i in enumerate(ids):
             per_image[i]["SPICE"] = float(s_per[idx])
+    else:
+        scores["SPICE"] = "skipped (jar unavailable)"
     return scores, per_image
 
 

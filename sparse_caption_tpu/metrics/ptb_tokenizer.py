@@ -28,12 +28,18 @@ _DROP = PUNCTUATIONS | {'"'}
 
 _CONTRACTIONS = re.compile(r"\b(can)(not)\b|(\w+)(n't)\b|(\w+)('(?:s|re|ve|ll|d|m))\b", re.IGNORECASE)
 _TRAILING_APOS = re.compile(r"(\w)'(\s|$)")  # plural possessive: dogs' -> dogs '
-_PUNCT_SPLIT = re.compile(r"([\.\,\?\!\:\;]+|[\"\(\)\[\]\{\}\$])")
+_PUNCT_SPLIT = re.compile(r"([\.\,\?\!\:\;]+|[\"\(\)\[\]\{\}\$%])")
 _NUM_SEP = re.compile(r"(?<=\d)([\.,])(?=\d)")  # 2,000 / 3.5 stay one token
+# dotted abbreviations stay one token, as Stanford keeps them: t.v., u.s.
+_ABBREV = re.compile(r"\b(?:[a-z]\.){2,}")
+# Stanford normalizes unicode punctuation before tokenizing
+_UNICODE_NORM = str.maketrans({"“": '"', "”": '"', "‘": "'", "’": "'",
+                               "–": "-", "—": "--"})
 
 
 def ptb_tokenize_sentence(sentence: str) -> List[str]:
     s = sentence.replace("\n", " ").strip().lower()
+    s = s.translate(_UNICODE_NORM).replace("…", "...")
     # split contractions PTB-style: don't -> do n't; it's -> it 's
     s = _CONTRACTIONS.sub(lambda m: " ".join(x for x in m.groups() if x), s)
     s = _TRAILING_APOS.sub(r"\1 ' \2", s)
@@ -43,6 +49,8 @@ def ptb_tokenize_sentence(sentence: str) -> List[str]:
     for lit, sym in [("(", " -lrb- "), (")", " -rrb- "), ("{", " -lcb- "), ("}", " -rcb- ")]:
         s = s.replace(lit, sym)
     # protect digit-internal separators (Stanford keeps 2,000 / 3.5 intact)
+    # and dotted abbreviations (t.v. / u.s. stay one token)
+    s = _ABBREV.sub(lambda m: m.group(0).replace(".", "\x02"), s)
     s = _NUM_SEP.sub(lambda m: "\x01" if m.group(1) == "," else "\x02", s)
     s = _PUNCT_SPLIT.sub(r" \1 ", s)
     s = s.replace("\x01", ",").replace("\x02", ".")

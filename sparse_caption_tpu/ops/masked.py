@@ -84,16 +84,6 @@ def masked_weight(kernel, mask, cfg: MaskConfig, train: bool, rng_key=None):
     return kernel * sample_mask(mask, cfg, train, rng_key)
 
 
-def _use_pallas_supermask() -> bool:
-    """Opt-in fused supermask matmul (TPU only): the Bernoulli draw is
-    generated inside the matmul tiles instead of materialized in HBM."""
-    import os
-
-    import jax
-
-    return os.environ.get("SPARSE_CAPTION_PALLAS_SUPERMASK", "0") == "1" and jax.default_backend() == "tpu"
-
-
 class MaskedDense(_Prunable):
     """Dense layer with optional pruning mask on the kernel.
 
@@ -111,22 +101,12 @@ class MaskedDense(_Prunable):
     @nn.compact
     def __call__(self, x, train: bool = False):
         kernel = self.param("kernel", self.kernel_init, (x.shape[-1], self.features))
-        cfg = self.mask_cfg
-        if cfg is not None and cfg.is_supermask and train and _use_pallas_supermask():
-            # fused path: mask sample generated in-kernel (ops/pallas_supermask)
-            from sparse_caption_tpu.ops.pallas_supermask import supermask_matmul
-
-            init_value = cfg.mask_init_value
-            mask = self.variable(
-                MASKS_COLLECTION, "mask", lambda: jnp.full(kernel.shape, init_value, dtype=jnp.float32)
-            ).value
-            seed = jax.random.randint(self.make_rng(MASK_RNG), (), 0, 2**31 - 1, dtype=jnp.int32)
-            lead = x.shape[:-1]
-            y = supermask_matmul(x.reshape(-1, x.shape[-1]), kernel, mask, seed, cfg.bypass_sigmoid_grad)
-            y = y.reshape(*lead, self.features)
-        else:
-            kernel = self._masked(kernel, cfg, train)
-            y = jnp.dot(x, kernel.astype(x.dtype) if self.dtype is None else kernel.astype(self.dtype))
+        # NOTE: a Pallas fused supermask matmul (Bernoulli drawn in-kernel)
+        # was built and A/B'd in round 2 and LOST to XLA's fusion at paper
+        # scale (80.9 vs 74.1 ms/step); deleted in round 3 — see CLAUDE.md
+        # perf notes for the full writeup.
+        kernel = self._masked(kernel, self.mask_cfg, train)
+        y = jnp.dot(x, kernel.astype(x.dtype) if self.dtype is None else kernel.astype(self.dtype))
         if self.use_bias:
             bias = self.param("bias", self.bias_init, (self.features,))
             y = y + bias.astype(y.dtype)

@@ -96,7 +96,16 @@ def extract_archive(file_path: str, path: str = ".", archive_format: str = "auto
             continue
         with opener(file_path) as archive:
             try:
-                archive.extractall(path)
+                if fmt == "tar":
+                    # refuse absolute-path / ".."-traversal members from a
+                    # tampered tar (CVE-2007-4559 class). Python 3.12+ only;
+                    # on older interpreters the legacy behavior stands.
+                    try:
+                        archive.extractall(path, filter="data")
+                    except TypeError:
+                        archive.extractall(path)
+                else:
+                    archive.extractall(path)
             except (tarfile.TarError, RuntimeError, KeyboardInterrupt):
                 # do not leave a partial extraction behind
                 raise
@@ -132,22 +141,34 @@ def get_file(
     if download:
         logger.info("fetching `%s` -> `%s`", origin, fpath)
         src_path = origin[len("file://"):] if origin.startswith("file://") else origin
+        is_local = "://" not in origin or origin.startswith("file://")
+        if is_local and os.path.exists(fpath) and os.path.samefile(src_path, fpath):
+            # origin IS the destination (e.g. a hash-mismatched archive the
+            # user pointed at directly): never copy-onto-self, and never
+            # delete the user's only copy in the cleanup path below.
+            raise RuntimeError(
+                f"`{fpath}` failed hash validation and origin points at the same file; "
+                "refusing to delete it — refetch from a real source or fix file_hash")
+        # fetch to a temp name and rename on success so a failed/partial
+        # fetch can never destroy a pre-existing file at fpath
+        tmp_path = fpath + ".part"
         try:
-            if "://" not in origin or origin.startswith("file://"):
-                shutil.copyfile(src_path, fpath)
+            if is_local:
+                shutil.copyfile(src_path, tmp_path)
             else:
                 try:
-                    urlretrieve(origin, fpath)
+                    urlretrieve(origin, tmp_path)
                 except HTTPError as e:
                     raise RuntimeError(f"URL fetch failure on {origin}: {e.code} -- {e.msg}")
                 except URLError as e:
                     raise RuntimeError(f"URL fetch failure on {origin}: {e.errno} -- {e.reason}")
+            if file_hash is not None and not validate_file(tmp_path, file_hash, hash_algorithm):
+                raise RuntimeError(f"hash mismatch after fetching `{origin}`")
+            os.replace(tmp_path, fpath)
         except (Exception, KeyboardInterrupt):
-            if os.path.exists(fpath):
-                os.remove(fpath)
+            if os.path.exists(tmp_path):
+                os.remove(tmp_path)
             raise
-        if file_hash is not None and not validate_file(fpath, file_hash, hash_algorithm):
-            raise RuntimeError(f"hash mismatch after fetching `{origin}`")
 
     if extract:
         extract_archive(fpath, dest_dir, archive_format)

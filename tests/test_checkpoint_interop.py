@@ -194,11 +194,15 @@ def test_converted_checkpoint_drives_eval_model(ref_prune_model, tmp_path):
     )
     cfg.save_config(str(run_dir), exist_ok=True)
 
-    env = dict(os.environ, JAX_PLATFORMS="cpu")
+    # --platform cpu, NOT the JAX_PLATFORMS env: the axon TPU plugin's
+    # sitecustomize ignores the env var, so without the flag this subprocess
+    # silently runs on the tunneled TPU and inherits the relay's
+    # nondeterministic 30-500 s compile stalls (flaky CI timeout).
     r = subprocess.run(
         [sys.executable, os.path.join(REPO, "scripts", "eval_model.py"),
-         "--log_dir", str(run_dir), "--ckpt", "best", "--split", "val", "--beam_size", "3"],
-        capture_output=True, text=True, env=env, timeout=900,
+         "--log_dir", str(run_dir), "--ckpt", "best", "--split", "val", "--beam_size", "3",
+         "--platform", "cpu"],
+        capture_output=True, text=True, timeout=900,
     )
     assert r.returncode == 0, r.stderr[-3000:]
     assert "CIDEr" in r.stdout

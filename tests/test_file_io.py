@@ -45,6 +45,51 @@ def test_get_file_hash_mismatch_refetches_and_raises(tmp_path, archive):
         file_io.get_file("caption_datasets.zip", f"file://{archive}", str(dest), file_hash=bad)
 
 
+def test_get_file_refuses_to_delete_self_origin(tmp_path, archive):
+    """If origin IS the destination and the hash mismatches, get_file must
+    refuse rather than copy-onto-self / delete the user's only copy."""
+    bad = "0" * 64
+    with pytest.raises(RuntimeError, match="same file"):
+        file_io.get_file(str(archive), f"file://{archive}", str(archive.parent), file_hash=bad)
+    assert archive.is_file()  # untouched
+
+
+def test_get_file_failed_fetch_preserves_existing_file(tmp_path, archive):
+    """A hash-mismatched refetch that FAILS must not destroy the
+    pre-existing (even if stale) destination file."""
+    dest = tmp_path / "dest"
+    dest.mkdir()
+    stale = dest / "caption_datasets.zip"
+    stale.write_bytes(b"stale-but-mine")
+    bad = "0" * 64
+    with pytest.raises(RuntimeError):
+        file_io.get_file("caption_datasets.zip", f"file://{archive}", str(dest), file_hash=bad)
+    assert stale.read_bytes() == b"stale-but-mine"
+    assert not (dest / "caption_datasets.zip.part").exists()
+
+
+def test_extract_archive_rejects_traversal_tar(tmp_path):
+    """Tarball path traversal (CVE-2007-4559 class) must not escape
+    dest_dir on interpreters that support extraction filters."""
+    import sys
+    import tarfile as tf
+
+    if sys.version_info < (3, 12):
+        pytest.skip("tar extraction filter requires Python 3.12+")
+    evil = tmp_path / "evil.tar"
+    payload = tmp_path / "payload.txt"
+    payload.write_text("x")
+    with tf.open(evil, "w") as t:
+        info = t.gettarinfo(str(payload), arcname="../escaped.txt")
+        with open(payload, "rb") as f:
+            t.addfile(info, f)
+    dest = tmp_path / "jail" / "inner"
+    dest.mkdir(parents=True)
+    with pytest.raises(tf.TarError):
+        file_io.extract_archive(str(evil), str(dest))
+    assert not (tmp_path / "jail" / "escaped.txt").exists()
+
+
 def test_validate_file_auto_detects_algorithm(tmp_path):
     p = tmp_path / "x.bin"
     p.write_bytes(b"hello")

@@ -152,6 +152,27 @@ STANFORD_CASES = [
     ("a 3.5 inch screen", "a 3.5 inch screen"),
     ("photo of a kitchen   with extra   spaces", "photo of a kitchen with extra spaces"),
     ("A plate of food: meat, rice, and salad.", "a plate of food meat rice and salad"),
+    # --- raw-caption (--retokenize_captions) edge cases, round 3 ---
+    # the one punctuation-bearing caption in the reference's own fixture
+    # (/root/reference/tests/data/dataset_coco_testing.json, "raw" field)
+    ("A woman marking a cake with the back of a chef's knife. ",
+     "a woman marking a cake with the back of a chef 's knife"),
+    # dotted abbreviations stay one token (Stanford keeps t.v. / u.s.)
+    ("A man watching t.v. on a couch", "a man watching t.v. on a couch"),
+    ("flags of the U.S. and Canada", "flags of the u.s. and canada"),
+    # percent splits off its number (Stanford: 25 %)
+    ("25% off all hats!", "25 % off all hats"),
+    # slash compounds stay one token
+    ("a black/white photo of a train", "a black/white photo of a train"),
+    ("1 1/2 sandwiches on a plate", "1 1/2 sandwiches on a plate"),
+    # unicode quotes/dashes normalize to ASCII PTB forms, then drop
+    ("“Stop” he said — loudly…", "stop he said loudly"),
+    ("the bird’s nest", "the bird 's nest"),
+    # multi-sentence raw captions
+    ("A dog runs. A cat sleeps.", "a dog runs a cat sleeps"),
+    # possessive who's vs contraction both split the same way
+    ("A man who's smiling, and his friend's bike.",
+     "a man who 's smiling and his friend 's bike"),
 ]
 
 

@@ -48,6 +48,38 @@ def test_param_tp_specs():
     assert specs["encoder_norm/scale"] == P()
 
 
+def test_param_tp_unknown_kernel_fails_loudly():
+    """A 2-D kernel whose module name matches no TP rule must raise (a
+    rename cannot silently de-parallelize the model) — and every kernel of
+    every registered model family must classify cleanly."""
+    mesh = make_mesh("4,2")
+    bogus = {"encoder_layers_0": {"totally_new_proj_name": {"kernel": jnp.ones((8, 8))}}}
+    with pytest.raises(ValueError, match="matches no"):
+        param_sharding(bogus, mesh)
+    # 1-D / scalar leaves never trip the guard
+    ok = {"some_norm": {"scale": jnp.ones((8,))}}
+    param_sharding(ok, mesh)
+
+    # all three model families classify without raising
+    from sparse_caption_tpu.models.relation_transformer import RelationTransformer
+    from sparse_caption_tpu.models.up_down import UpDownModel
+
+    ort = RelationTransformer(vocab_size=16, d_model=8, dim_feedforward=16, num_layers=1,
+                              num_heads=2, att_feat_size=4, max_seq_length=5)
+    vs = ort.init({"params": jax.random.PRNGKey(0)}, att_feats=jnp.ones((2, 3, 4)),
+                  att_masks=jnp.ones((2, 3)), boxes=jnp.ones((2, 3, 4)),
+                  seqs=jnp.ones((2, 5), jnp.int32))
+    param_sharding(vs["params"], mesh)
+
+    ud = UpDownModel(vocab_size=16, rnn_size=8, input_encoding_size=8, att_hid_size=8,
+                     fc_feat_size=8, att_feat_size=4, max_seq_length=5)
+    vs = ud.init({"params": jax.random.PRNGKey(0), "dropout": jax.random.PRNGKey(1),
+                  "ss": jax.random.PRNGKey(2)},
+                 att_feats=jnp.ones((2, 3, 4)), att_masks=jnp.ones((2, 3)),
+                 fc_feats=jnp.ones((2, 8)), seqs=jnp.ones((2, 5), jnp.int32), train=True)
+    param_sharding(vs["params"], mesh)
+
+
 def test_opt_state_sharding_structure_matched():
     """Adam mu/nu shard exactly like the params they track; counters replicated."""
     import optax

@@ -90,6 +90,70 @@ def test_train_dense(model, extra, fixture_dataset, tmp_path):
     assert os.path.isfile(os.path.join(val_dir, "scores.csv"))
 
 
+def test_train_bf16_precision_and_eval_cast(fixture_dataset, tmp_path):
+    """--train_precision bf16 + --eval_cast bf16 on the ORT (boxes) model:
+    master params/opt state stay f32, boxes stay f32 through the cast
+    (geometry trig hygiene — engine/training.py cast notes), loss finite."""
+    import jax.numpy as jnp
+    import numpy as np
+
+    module = run_train(tiny_args(
+        fixture_dataset, tmp_path, "relation_transformer",
+        TINY_TRANSFORMER + ["--train_precision", "bf16", "--eval_cast", "bf16"]))
+    # master params and optimizer state are still f32
+    import jax
+
+    leaves = jax.tree.leaves(module.state.params)
+    assert all(x.dtype == jnp.float32 for x in leaves if jnp.issubdtype(x.dtype, jnp.floating))
+    opt_leaves = [x for x in jax.tree.leaves((module.state.opt_w, module.state.opt_m))
+                  if hasattr(x, "dtype")]
+    assert all(x.dtype == jnp.float32 for x in opt_leaves if jnp.issubdtype(x.dtype, jnp.floating))
+    # and training made finite progress (scalars were logged)
+    scal = os.path.join(module.config.log_dir, "scalars.jsonl")
+    assert os.path.isfile(scal)
+    import json
+
+    recs = [json.loads(ln) for ln in open(scal)]
+    losses = [r["value"] for r in recs if r.get("tag") == "train/caption_loss"]
+    assert losses and all(np.isfinite(v) for v in losses)
+    # eval ran under the bf16 cast and produced scores
+    assert os.path.isfile(os.path.join(module.config.log_dir, "val_beam_1", "scores.csv"))
+
+
+def test_bf16_input_cast_excludes_boxes(fixture_dataset, tmp_path):
+    """The bf16 compute cast must leave 'boxes' f32 (advisor round-2
+    finding: bf16 box coords degenerate the x100-scaled geometry trig)."""
+    import jax
+    import jax.numpy as jnp
+
+    args = parse_opt(tiny_args(fixture_dataset, tmp_path, "relation_transformer",
+                               TINY_TRANSFORMER + ["--train_precision", "bf16"]))
+    config = Config(**vars(args))
+    from sparse_caption_tpu.engine.training import TrainingModule
+
+    module = TrainingModule(config)
+    module.init_state()
+    seen = {}
+
+    orig = module.model.apply
+
+    def spy(variables, **kw):
+        for k in ("boxes", "att_feats"):
+            if k in kw:
+                seen[k] = kw[k].dtype
+        return orig(variables, **kw)
+
+    module.model.apply = spy
+    batch = next(iter(module.get_loader("train", train=True)))
+    inputs = module._model_inputs(batch)
+    xe_step = module.make_xe_step()
+    with jax.disable_jit():
+        xe_step(module.state, inputs, jnp.asarray(batch["masks"]))
+    module.model.apply = orig
+    assert seen["att_feats"] == jnp.bfloat16
+    assert seen["boxes"] == jnp.float32
+
+
 def test_train_acort_radix_sharing(fixture_dataset, tmp_path):
     """ACORT = ORT + radix tokenizer + kv sharing + layer sharing."""
     argv = tiny_args(fixture_dataset, tmp_path, "relation_transformer",
@@ -170,11 +234,13 @@ def test_eval_model_script(fixture_dataset, tmp_path):
     module = run_train(tiny_args(fixture_dataset, tmp_path, "transformer", TINY_TRANSFORMER))
     import subprocess
 
-    env = dict(os.environ, JAX_PLATFORMS="cpu")
+    # --platform cpu: the axon sitecustomize ignores JAX_PLATFORMS, so
+    # without the flag this subprocess would run on the tunneled TPU
     r = subprocess.run(
         [sys.executable, os.path.join(os.path.dirname(__file__), "..", "scripts", "eval_model.py"),
-         "--log_dir", module.config.log_dir, "--ckpt", "last", "--split", "val", "--beam_size", "2"],
-        capture_output=True, text=True, env=env, timeout=900,
+         "--log_dir", module.config.log_dir, "--ckpt", "last", "--split", "val", "--beam_size", "2",
+         "--platform", "cpu"],
+        capture_output=True, text=True, timeout=900,
     )
     assert r.returncode == 0, r.stderr[-3000:]
     assert "CIDEr" in r.stdout
