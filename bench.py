@@ -31,6 +31,16 @@ precision (scripts/eval_model.py --cast bf16) and standard TPU practice.
   recipes' SCST_BASELINE="sample", commands_pruning.sh:47-70): jitted
   sampling decode -> host CIDEr-D reward (native C++ scorer) -> jitted
   REINFORCE update with the teacher-forced-replay gradient pass.
+* scst_pipelined_steps_per_sec: same workload under --scst_pipeline (host
+  scoring of batch N overlaps the device grad of batch N-1; one-update
+  policy lag, documented in engine/training.py make_scst_pipelined_step).
+* scst_beam_steps_per_sec: beam-5 SCST (differentiable beam-scan
+  recompute gradient pass; reference utils/training.py:225-230).
+* xe_steps_per_sec_batch256 + *_mfu fields: large-batch XE and analytic
+  matmul-FLOPs MFU vs the chip's peak bf16 rate (the reference batch-15
+  step is latency-bound; MFU quantifies how idle the chip is there).
+* updown_* / acort_*: the other two paper model families (Up-Down LSTM
+  defaults rnn 1000; ACORT-base radix-768 + kv/layer sharing).
 
 ``vs_baseline``: the reference repo publishes no throughput numbers
 (SURVEY §6); the baseline constant below is the estimated single-A100
@@ -108,6 +118,38 @@ def bench_decode(jax, jnp, model, variables, att, amask, boxes):
     return BATCH * ITERS / best_dt
 
 
+# --------------------------------------------------------------- MFU model
+# Peak dense bf16 matmul throughput per chip, by jax device_kind.
+PEAK_TFLOPS = {
+    "TPU v4": 275.0,
+    "TPU v5 lite": 197.0,  # v5e
+    "TPU v5": 459.0,       # v5p
+    "TPU v6 lite": 918.0,  # v6e (Trillium)
+}
+
+
+def ort_xe_flops(b: int, spi: int = 5, n: int = REGIONS, t: int = MAX_LEN + 1,
+                 d: int = D_MODEL, ff: int = FF, L: int = LAYERS, v: int = VOCAB,
+                 feat: int = FEAT) -> float:
+    """Analytic matmul FLOPs for one ORT XE train step (fwd + bwd = 3x fwd).
+
+    Per-matmul convention 2*m*n*k; causal self-attention counted at half
+    density. Elementwise/LayerNorm/softmax FLOPs excluded (<2% at these
+    shapes, and they are VPU not MXU work)."""
+    enc_attn = L * (4 * 2 * n * d * d + 2 * 2 * n * n * d)
+    enc_ffn = L * (2 * 2 * n * d * ff)
+    enc = b * (2 * n * feat * d + enc_attn + enc_ffn)
+    seqs = b * spi
+    dec_self = L * (4 * 2 * t * d * d + 0.5 * 2 * 2 * t * t * d)
+    dec_cross = L * (2 * 2 * t * d * d + 2 * 2 * t * n * d)
+    dec_ffn = L * (2 * 2 * t * d * ff)
+    gen = 2 * t * d * v
+    cross_kv = b * L * (2 * 2 * n * d * d)  # per image, reused by its seqs
+    dec = seqs * (dec_self + dec_cross + dec_ffn + gen) + cross_kv
+    fwd = enc + dec
+    return 3.0 * fwd
+
+
 def _make_train_pieces(jax, jnp, prune: bool):
     """Paper-scale ORT(+supermask) model, optimizers, synthetic batch."""
     import optax
@@ -130,13 +172,15 @@ def _make_train_pieces(jax, jnp, prune: bool):
     return model, opt_w, opt_m, optax
 
 
-def bench_xe_step(jax, jnp):
-    """Supermask XE train step at reference batch 15 x 5 captions."""
+def bench_xe_step(jax, jnp, b: int = 15):
+    """Supermask XE train step at b images x 5 captions (reference batch 15,
+    utils/training.py:396-415; larger b quantifies the latency-vs-MFU
+    tradeoff — the chip is mostly idle at the reference batch)."""
     from sparse_caption_tpu.engine import losses as losses_mod
 
     model, opt_w, opt_m, optax = _make_train_pieces(jax, jnp, prune=True)
     rng = np.random.default_rng(1)
-    b, spi, t = 15, 5, MAX_LEN + 1
+    spi, t = 5, MAX_LEN + 1
     att = jnp.asarray(rng.standard_normal((b, REGIONS, FEAT)), jnp.float32)
     amask = jnp.ones((b, REGIONS), jnp.float32)
     boxes = jnp.asarray(rng.uniform(0, 1, (b, REGIONS, 4)), jnp.float32)
@@ -241,10 +285,10 @@ def bench_scst_step(jax, jnp, tmp_dir="/tmp/sc_bench"):
         return {"sample": train_sample(params, rng, False)[0]}
 
     @jax.jit
-    def grad_fn(state, sample_seq, rewards):
+    def grad_fn(state, sample_seq, rewards, step):
         from sparse_caption_tpu.decoding.api import decode_train_keys
 
-        rng = jax.random.fold_in(base_rng, state["step"])  # same key as sample_fn
+        rng = jax.random.fold_in(base_rng, step)  # same key as sample_fn
         flat = sample_seq.reshape(b * n_samples, t)
 
         def loss_fn(params):
@@ -270,15 +314,17 @@ def bench_scst_step(jax, jnp, tmp_dir="/tmp/sc_bench"):
         return {"params": _o.apply_updates(state["params"], uw), "ow": ow,
                 "step": state["step"] + 1}, loss
 
-    def scst_step(state):
-        res = jax.device_get(sample_fn(state["params"], state["step"]))
-        sample_np = res["sample"]
+    def score(sample_np):
         sample_dec = [[words(sample_np[i, j][sample_np[i, j] > 3]) for j in range(n_samples)]
                       for i in range(b)]
         # leave-one-out sample-mean baseline (reference SCST_BASELINE="sample")
         sc_s, sc_b = scorer(refs=gts, sample=sample_dec, baseline=None)
-        rewards = np.asarray(sc_s - sc_b, np.float32)
-        return grad_fn(state, sample_np, rewards)
+        return np.asarray(sc_s - sc_b, np.float32)
+
+    def scst_step(state):
+        res = jax.device_get(sample_fn(state["params"], state["step"]))
+        rewards = score(res["sample"])
+        return grad_fn(state, res["sample"], rewards, state["step"])
 
     t0 = time.perf_counter()
     state, loss = scst_step(state)
@@ -292,7 +338,305 @@ def bench_scst_step(jax, jnp, tmp_dir="/tmp/sc_bench"):
             state, loss = scst_step(state)
         np.asarray(loss)
         best = min(best, time.perf_counter() - t0)
+    serial_sps = n / best
+
+    # ---- pipelined variant (engine make_scst_pipelined_step semantics):
+    # dispatch batch N's sampling async, queue batch N-1's grad behind it,
+    # fetch N's tokens, score them on host while the grad executes.
+    def run_pipelined(state, n_steps, counter0):
+        pending = None
+        ctr = counter0
+        for _ in range(n_steps):
+            step_arr = np.asarray(ctr, np.int32)
+            ctr += 1
+            res = sample_fn(state["params"], step_arr)  # async dispatch
+            if pending is not None:
+                state, _ = grad_fn(state, pending[0], pending[1], pending[2])  # queued
+            res_np = jax.device_get(res)  # blocks on sampling only
+            rewards = score(res_np["sample"])  # overlaps the queued grad
+            pending = (res["sample"], rewards, step_arr)
+        if pending is not None:
+            state, loss = grad_fn(state, pending[0], pending[1], pending[2])
+            np.asarray(loss)
+        return state, ctr
+
+    t0 = time.perf_counter()
+    state, ctr = run_pipelined(state, 2, 100)  # warmup (compiles nothing new)
+    _log(f"scst pipelined warmup: {time.perf_counter() - t0:.1f}s")
+    best = float("inf")
+    for _trial in range(2):
+        t0 = time.perf_counter()
+        state, ctr = run_pipelined(state, n, ctr)
+        best = min(best, time.perf_counter() - t0)
+    return serial_sps, n / best
+
+
+def bench_scst_beam_step(jax, jnp, tmp_dir="/tmp/sc_bench"):
+    """Beam-mode SCST (reference utils/training.py:225-230): beam-5 sampling
+    under the train policy -> host CIDEr-D -> grad via the differentiable
+    beam-scan recompute (tokens/logprobs proven identical to the sampling
+    pass in tests/test_scst_semantics.py)."""
+    from sparse_caption_tpu.decoding import generate
+    from sparse_caption_tpu.engine import losses as losses_mod
+    from sparse_caption_tpu.metrics.cider import build_df_pickle
+    from sparse_caption_tpu.scst import CaptionScorer
+    from sparse_caption_tpu.scst import native as native_scst
+
+    model, opt_w, opt_m, optax = _make_train_pieces(jax, jnp, prune=False)
+    b, n_beams, t = 5, 5, MAX_LEN
+    rng = np.random.default_rng(5)
+    att = jnp.asarray(rng.standard_normal((b, REGIONS, FEAT)), jnp.float32)
+    amask = jnp.ones((b, REGIONS), jnp.float32)
+    boxes = jnp.asarray(rng.uniform(0, 1, (b, REGIONS, 4)), jnp.float32)
+    seqs0 = jnp.asarray(rng.integers(4, VOCAB, (b, t + 1)), jnp.int32)
+    variables = model.init({"params": jax.random.PRNGKey(6)}, att, amask, seqs0, boxes=boxes)
+    params = variables["params"]
+    state = {"params": params, "ow": opt_w.init(params), "step": jnp.zeros((), jnp.int32)}
+    base_rng = jax.random.PRNGKey(7)
+    words = lambda ids: " ".join(f"w{i}" for i in ids)  # noqa: E731
+    gts = [[words(rng.integers(4, 200, rng.integers(8, 15))) for _ in range(5)] for _ in range(b)]
+    os.makedirs(tmp_dir, exist_ok=True)
+    df_path = os.path.join(tmp_dir, "df.p")
+    if not os.path.isfile(df_path):
+        build_df_pickle(gts, df_path)
+    scorer_cls = native_scst.NativeCaptionScorer if native_scst.is_available() else CaptionScorer
+    scorer = scorer_cls(df_path[:-2], cider_weight=1.0, bleu_weight=[0, 0, 0, 0])
+    beam_opt = {"beam_size": n_beams, "max_seq_length": t, "decode_train": True}
+
+    def train_sample(params, rng):
+        v = {"params": params}
+        kd, km, kdec = jax.random.split(rng, 3)
+        memory = model.apply(v, att, amask, boxes, train=True,
+                             rngs={"dropout": kd, "mask": km}, method="encode")
+        return generate(model, v, memory, beam_opt, rng=kdec)
+
+    @jax.jit
+    def sample_fn(params, step):
+        rng = jax.random.fold_in(base_rng, step)
+        return train_sample(params, rng)[0]
+
+    @jax.jit
+    def grad_fn(state, sample_seq, rewards):
+        rng = jax.random.fold_in(base_rng, state["step"])
+        flat = jax.lax.stop_gradient(sample_seq).reshape(b * n_beams, t)
+
+        def loss_fn(params):
+            _, lp = train_sample(params, rng)  # identical beam realization
+            seq_lp = lp.reshape(b * n_beams, t)
+            mask = (flat != model.pad_id).astype(seq_lp.dtype)
+            return losses_mod.reward_loss(seq_lp, mask, rewards)
+
+        loss, gw = jax.value_and_grad(loss_fn)(state["params"])
+        uw, ow = opt_w.update(gw, state["ow"], state["params"])
+        import optax as _o
+
+        return {"params": _o.apply_updates(state["params"], uw), "ow": ow,
+                "step": state["step"] + 1}, loss
+
+    def step(state):
+        sample_np = np.asarray(sample_fn(state["params"], state["step"]))
+        sample_dec = [[words(sample_np[i, j][sample_np[i, j] > 3]) for j in range(n_beams)]
+                      for i in range(b)]
+        sc_s, sc_b = scorer(refs=gts, sample=sample_dec, baseline=None)
+        rewards = np.asarray(sc_s - sc_b, np.float32)
+        return grad_fn(state, sample_np, rewards)
+
+    t0 = time.perf_counter()
+    state, loss = step(state)
+    np.asarray(loss)
+    _log(f"beam-scst warmup+compile: {time.perf_counter() - t0:.1f}s")
+    n = 4
+    best = float("inf")
+    for _trial in range(2):
+        t0 = time.perf_counter()
+        for _ in range(n):
+            state, loss = step(state)
+        np.asarray(loss)
+        best = min(best, time.perf_counter() - t0)
     return n / best
+
+
+def bench_updown(jax, jnp):
+    """Up-Down LSTM at paper scale (reference att_model.py:317-345 defaults:
+    rnn 1000, input encoding 1000, att_hid 512): beam-5 decode captions/s +
+    XE steps/s. The decode scan is latency-sensitive small-matmul work
+    (1000-wide LSTM cells) — MXU utilization is inherently low; batch is
+    the only lever."""
+    from sparse_caption_tpu.decoding import generate
+    from sparse_caption_tpu.engine import losses as losses_mod
+    from sparse_caption_tpu.engine.optim import build_weight_optimizer, make_schedule
+    from sparse_caption_tpu.models.up_down import UpDownModel
+
+    from sparse_caption_tpu.config import Config
+
+    model = UpDownModel(vocab_size=VOCAB, rnn_size=1000, input_encoding_size=1000,
+                        att_hid_size=512, fc_feat_size=FEAT, att_feat_size=FEAT,
+                        max_seq_length=MAX_LEN, drop_prob_lm=0.5)
+    rng = np.random.default_rng(8)
+    dec_batch = int(os.environ.get("BENCH_UPDOWN_BATCH", 1024))
+    att = jnp.asarray(rng.standard_normal((dec_batch, REGIONS, FEAT)), jnp.bfloat16)
+    amask = jnp.ones((dec_batch, REGIONS), jnp.bfloat16)
+    fc = jnp.asarray(rng.standard_normal((dec_batch, FEAT)), jnp.bfloat16)
+    seqs0 = jnp.asarray(rng.integers(4, VOCAB, (2, MAX_LEN + 1)), jnp.int32)
+    variables = model.init({"params": jax.random.PRNGKey(9), "dropout": jax.random.PRNGKey(10),
+                            "ss": jax.random.PRNGKey(11)},
+                           att[:2].astype(jnp.float32), amask[:2].astype(jnp.float32),
+                           seqs0, fc_feats=fc[:2].astype(jnp.float32), train=True)
+    variables = _bf16_tree(jnp, variables)
+
+    @jax.jit
+    def decode(variables, att, amask, fc):
+        memory = model.apply(variables, att, amask, fc, method="encode")
+        seq, _ = generate(model, variables, memory, {"beam_size": BEAM, "max_seq_length": MAX_LEN})
+        return seq
+
+    t0 = time.perf_counter()
+    np.asarray(decode(variables, att, amask, fc)[:, 0, 0])
+    _log(f"updown decode warmup+compile: {time.perf_counter() - t0:.1f}s")
+    best = float("inf")
+    for _trial in range(2):
+        t0 = time.perf_counter()
+        for _ in range(3):
+            np.asarray(decode(variables, att, amask, fc)[:, 0, 0])
+        best = min(best, time.perf_counter() - t0)
+    decode_cps = dec_batch * 3 / best
+
+    # XE step at the reference batch (15 x 5)
+    b, spi, t = 15, 5, MAX_LEN + 1
+    att_t = jnp.asarray(rng.standard_normal((b, REGIONS, FEAT)), jnp.float32)
+    amask_t = jnp.ones((b, REGIONS), jnp.float32)
+    fc_t = jnp.asarray(rng.standard_normal((b, FEAT)), jnp.float32)
+    seqs = jnp.asarray(rng.integers(4, VOCAB, (b * spi, t)), jnp.int32)
+    seq_masks = jnp.ones((b * spi, t), jnp.float32)
+    vs = model.init({"params": jax.random.PRNGKey(12), "dropout": jax.random.PRNGKey(13),
+                     "ss": jax.random.PRNGKey(14)},
+                    att_t, amask_t, seqs[:b], fc_feats=fc_t, train=True)
+    params = vs["params"]
+    cfg = Config(lr_scheduler="noam", optim="adam", d_model=1000, noamopt_warmup=10000,
+                 grad_clip=0.1, learning_rate=5e-4, max_train_step=100000)
+    opt_w = build_weight_optimizer(cfg, make_schedule(cfg, steps_per_epoch=1000))
+    state = {"params": params, "ow": opt_w.init(params), "step": jnp.zeros((), jnp.int32)}
+    base_rng = jax.random.PRNGKey(15)
+
+    @jax.jit
+    def xe_step(state):
+        k_drop, k_ss = jax.random.split(jax.random.fold_in(base_rng, state["step"]))
+
+        def loss_fn(params):
+            lp = model.apply({"params": params}, att_t, amask_t, seqs, fc_feats=fc_t,
+                             train=True, rngs={"dropout": k_drop, "ss": k_ss})
+            return losses_mod.language_model_loss(lp, seqs[:, 1:], seq_masks[:, 1:])
+
+        loss, gw = jax.value_and_grad(loss_fn)(state["params"])
+        uw, ow = opt_w.update(gw, state["ow"], state["params"])
+        import optax as _o
+
+        return {"params": _o.apply_updates(state["params"], uw), "ow": ow,
+                "step": state["step"] + 1}, loss
+
+    t0 = time.perf_counter()
+    state, loss = xe_step(state)
+    np.asarray(loss)
+    _log(f"updown xe warmup+compile: {time.perf_counter() - t0:.1f}s")
+    n = 10
+    best = float("inf")
+    for _trial in range(2):
+        t0 = time.perf_counter()
+        for _ in range(n):
+            state, loss = xe_step(state)
+        np.asarray(loss)
+        best = min(best, time.perf_counter() - t0)
+    return decode_cps, n / best
+
+
+def bench_acort(jax, jnp):
+    """ACORT-base (reference commands_acort.sh:37-53: ORT + radix-768
+    tokenizer + share_att kv + share_layer (0,0,0,1,1,1), d512/ff2048,
+    max_seq 26): beam-5 decode captions/s + XE steps/s."""
+    from sparse_caption_tpu.decoding import generate
+    from sparse_caption_tpu.engine import losses as losses_mod
+    from sparse_caption_tpu.engine.optim import build_weight_optimizer, make_schedule
+    from sparse_caption_tpu.models.relation_transformer import RelationTransformer
+
+    from sparse_caption_tpu.config import Config
+
+    vocab = 768 + 4  # radix base + specials
+    t_max = 25  # radix tokens per caption (max_seq_length 26 incl. BOS)
+    model = RelationTransformer(
+        vocab_size=vocab, d_model=D_MODEL, dim_feedforward=FF, num_layers=LAYERS,
+        num_heads=HEADS, att_feat_size=FEAT, max_seq_length=t_max,
+        share_att_encoder="kv", share_att_decoder="kv",
+        share_layer_encoder=(0, 0, 0, 1, 1, 1), share_layer_decoder=(0, 0, 0, 1, 1, 1),
+    )
+    rng = np.random.default_rng(16)
+    att = jnp.asarray(rng.standard_normal((BATCH, REGIONS, FEAT)), jnp.float32)
+    amask = jnp.ones((BATCH, REGIONS), jnp.float32)
+    boxes = jnp.asarray(rng.uniform(0, 1, (BATCH, REGIONS, 4)), jnp.float32)
+    seqs0 = jnp.asarray(rng.integers(4, vocab, (2, t_max + 1)), jnp.int32)
+    variables = model.init({"params": jax.random.PRNGKey(17)},
+                           att[:2], amask[:2], seqs0, boxes=boxes[:2])
+    variables = _bf16_tree(jnp, variables)
+    att_b, amask_b = att.astype(jnp.bfloat16), amask.astype(jnp.bfloat16)
+
+    @jax.jit
+    def decode(variables, att, amask, boxes):
+        memory = model.apply(variables, att, amask, boxes, method="encode")
+        seq, _ = generate(model, variables, memory, {"beam_size": BEAM, "max_seq_length": t_max})
+        return seq
+
+    t0 = time.perf_counter()
+    np.asarray(decode(variables, att_b, amask_b, boxes)[:, 0, 0])
+    _log(f"acort decode warmup+compile: {time.perf_counter() - t0:.1f}s")
+    best = float("inf")
+    for _trial in range(2):
+        t0 = time.perf_counter()
+        for _ in range(3):
+            np.asarray(decode(variables, att_b, amask_b, boxes)[:, 0, 0])
+        best = min(best, time.perf_counter() - t0)
+    decode_cps = BATCH * 3 / best
+
+    # XE at the reference batch
+    b, spi, t = 15, 5, t_max + 1
+    att_t, amask_t, boxes_t = att[:b], amask[:b], boxes[:b]
+    seqs = jnp.asarray(rng.integers(4, vocab, (b * spi, t)), jnp.int32)
+    seq_masks = jnp.ones((b * spi, t), jnp.float32)
+    vs = model.init({"params": jax.random.PRNGKey(18)}, att_t, amask_t, seqs[:b], boxes=boxes_t)
+    params = vs["params"]
+    cfg = Config(lr_scheduler="noam", optim="adam", d_model=D_MODEL, noamopt_warmup=10000,
+                 grad_clip=0.1, learning_rate=5e-4, max_train_step=100000)
+    opt_w = build_weight_optimizer(cfg, make_schedule(cfg, steps_per_epoch=1000))
+    state = {"params": params, "ow": opt_w.init(params), "step": jnp.zeros((), jnp.int32)}
+    base_rng = jax.random.PRNGKey(19)
+
+    @jax.jit
+    def xe_step(state):
+        k_drop = jax.random.fold_in(base_rng, state["step"])
+
+        def loss_fn(params):
+            lp = model.apply({"params": params}, att_t, amask_t, seqs, boxes=boxes_t,
+                             train=True, rngs={"dropout": k_drop})
+            return losses_mod.language_model_loss(lp, seqs[:, 1:], seq_masks[:, 1:])
+
+        loss, gw = jax.value_and_grad(loss_fn)(state["params"])
+        uw, ow = opt_w.update(gw, state["ow"], state["params"])
+        import optax as _o
+
+        return {"params": _o.apply_updates(state["params"], uw), "ow": ow,
+                "step": state["step"] + 1}, loss
+
+    t0 = time.perf_counter()
+    state, loss = xe_step(state)
+    np.asarray(loss)
+    _log(f"acort xe warmup+compile: {time.perf_counter() - t0:.1f}s")
+    n = 10
+    best = float("inf")
+    for _trial in range(2):
+        t0 = time.perf_counter()
+        for _ in range(n):
+            state, loss = xe_step(state)
+        np.asarray(loss)
+        best = min(best, time.perf_counter() - t0)
+    return decode_cps, n / best
 
 
 def main() -> None:
@@ -320,21 +664,57 @@ def main() -> None:
     att_b = att.astype(jnp.bfloat16)
     amask_b = amask.astype(jnp.bfloat16)
 
+    def guarded(name, fn, *args):
+        """One failing sub-bench must not kill the whole bench line."""
+        try:
+            return fn(*args)
+        except Exception as e:  # noqa: BLE001
+            print(f"bench {name} failed: {type(e).__name__}: {e}", file=sys.stderr)
+            return None
+
     captions_per_sec = bench_decode(jax, jnp, model, variables, att_b, amask_b, boxes)
     xe_sps = bench_xe_step(jax, jnp)
-    scst_sps = bench_scst_step(jax, jnp)
+    scst = guarded("scst", bench_scst_step, jax, jnp)
+    scst_sps, scst_pipe_sps = scst if scst else (None, None)
+    scst_beam_sps = guarded("scst_beam", bench_scst_beam_step, jax, jnp)
+    xe_b256 = guarded("xe_b256", bench_xe_step, jax, jnp, 256)
+    updown = guarded("updown", bench_updown, jax, jnp)
+    acort = guarded("acort", bench_acort, jax, jnp)
 
-    value = captions_per_sec / 1  # single-chip benchmark
-    print(json.dumps({
+    # MFU accounting (VERDICT r2 next #5): analytic matmul FLOPs per XE
+    # step vs the chip's peak dense bf16 rate
+    kind = jax.devices()[0].device_kind
+    peak = PEAK_TFLOPS.get(kind)
+    f15 = ort_xe_flops(15)
+    f256 = ort_xe_flops(256)
+
+    def mfu(flops, sps):
+        return round(flops * sps / (peak * 1e12), 4) if (peak and sps) else None
+
+    out = {
         "metric": "captions_per_sec_per_chip_beam5",
-        "value": round(value, 2),
+        "value": round(captions_per_sec, 2),
         "unit": "captions/sec",
-        "vs_baseline": round(value / BASELINE_CAPTIONS_PER_SEC, 3),
+        "vs_baseline": round(captions_per_sec / BASELINE_CAPTIONS_PER_SEC, 3),
         "decode_batch": BATCH,
         "xe_steps_per_sec": round(xe_sps, 3),
         "xe_images_per_sec": round(xe_sps * 15, 1),
-        "scst_steps_per_sec": round(scst_sps, 3),
-    }))
+        "scst_steps_per_sec": round(scst_sps, 3) if scst_sps else None,
+        "scst_pipelined_steps_per_sec": round(scst_pipe_sps, 3) if scst_pipe_sps else None,
+        "scst_beam_steps_per_sec": round(scst_beam_sps, 3) if scst_beam_sps else None,
+        "xe_steps_per_sec_batch256": round(xe_b256, 3) if xe_b256 else None,
+        "device_kind": kind,
+        "peak_tflops_bf16": peak,
+        "xe_model_tflops_per_step": round(f15 / 1e12, 4),
+        "xe_mfu": mfu(f15, xe_sps),
+        "xe_b256_model_tflops_per_step": round(f256 / 1e12, 4),
+        "xe_b256_mfu": mfu(f256, xe_b256),
+        "updown_captions_per_sec": round(updown[0], 1) if updown else None,
+        "updown_xe_steps_per_sec": round(updown[1], 3) if updown else None,
+        "acort_captions_per_sec": round(acort[0], 1) if acort else None,
+        "acort_xe_steps_per_sec": round(acort[1], 3) if acort else None,
+    }
+    print(json.dumps(out))
 
 
 if __name__ == "__main__":

@@ -124,10 +124,309 @@ def bench_ours(att, amask, boxes, batch: int, iters: int) -> float:
     return batch * iters / (time.perf_counter() - t0)
 
 
+# ----------------------------------------------------------- train steps
+XE_B, XE_SPI = 4, 5  # images x captions per step (scaled-down paper batch
+#                      so the CPU comparison completes in minutes; same
+#                      shapes both sides)
+SCST_B, SCST_N = 2, 5
+
+
+def _train_data(np, b):
+    rng = np.random.default_rng(1)
+    att = rng.standard_normal((b, REGIONS, FEAT)).astype(np.float32)
+    amask = np.ones((b, REGIONS), np.float32)
+    boxes = rng.uniform(0.05, 0.95, (b, REGIONS, 4)).astype(np.float32)
+    seqs = rng.integers(4, VOCAB, (b * XE_SPI, MAX_LEN + 1)).astype(np.int64)
+    masks = np.ones((b * XE_SPI, MAX_LEN + 1), np.float32)
+    return att, amask, boxes, seqs, masks
+
+
+def bench_reference_xe(iters: int) -> float:
+    """Reference XE step: fwd + LanguageModelCriterion + bwd + Adam step
+    (reference scripts/train_transformer.py:58-97)."""
+    import numpy as np
+    import torch
+
+    _stub_reference_deps()
+    from sparse_caption.models.relation_transformer import RelationTransformerModel
+    from sparse_caption.utils import losses as ref_losses
+    from sparse_caption.utils.config import Config as RefConfig
+
+    cfg = RefConfig(
+        d_model=D_MODEL, dim_feedforward=FF, num_layers=LAYERS, num_heads=HEADS,
+        drop_prob_src=0.1, att_feat_size=FEAT, max_seq_length=MAX_LEN, vocab_size=VOCAB,
+        bos_token_id=2, eos_token_id=3, unk_token_id=1, pad_token_id=0,
+        share_att_encoder=None, share_att_decoder=None,
+        share_layer_encoder=None, share_layer_decoder=None,
+        no_box_trigonometric_embedding=False,
+    )
+    torch.manual_seed(0)
+    torch.set_num_threads(os.cpu_count() or 1)
+    model = RelationTransformerModel(cfg)
+    model.train()
+    loss_fn = ref_losses.LanguageModelCriterion()
+    optimizer = torch.optim.Adam(model.parameters(), lr=5e-4, betas=(0.9, 0.98), eps=1e-9)
+    att, amask, boxes, seqs, masks = _train_data(np, XE_B)
+    t_att = torch.tensor(att).repeat_interleave(XE_SPI, 0)
+    t_amask = torch.tensor(amask).repeat_interleave(XE_SPI, 0)
+    t_boxes = torch.tensor(boxes).repeat_interleave(XE_SPI, 0)
+    t_seqs, t_masks = torch.tensor(seqs), torch.tensor(masks)
+
+    def step():
+        optimizer.zero_grad()
+        out = model(att_feats=t_att, boxes=t_boxes, seqs=t_seqs, att_masks=t_amask, mode="forward")
+        loss = loss_fn(out, t_seqs[:, 1:], t_masks[:, 1:])
+        loss.backward()
+        torch.nn.utils.clip_grad_value_(model.parameters(), 0.1)
+        optimizer.step()
+
+    step()  # warmup
+    t0 = time.perf_counter()
+    for _ in range(iters):
+        step()
+    return iters / (time.perf_counter() - t0)
+
+
+def bench_ours_xe(iters: int) -> float:
+    """Our jitted XE step: same shapes, fp32, Adam(0.9,0.98,1e-9) + clip."""
+    import jax
+
+    jax.config.update("jax_platforms", "cpu")
+    import jax.numpy as jnp
+    import numpy as np
+
+    from sparse_caption_tpu.config import Config
+    from sparse_caption_tpu.engine import losses as losses_mod
+    from sparse_caption_tpu.engine.optim import build_weight_optimizer, make_schedule
+    from sparse_caption_tpu.models.relation_transformer import RelationTransformer
+
+    model = RelationTransformer(vocab_size=VOCAB, d_model=D_MODEL, dim_feedforward=FF,
+                                num_layers=LAYERS, num_heads=HEADS, att_feat_size=FEAT,
+                                max_seq_length=MAX_LEN + 1)
+    att, amask, boxes, seqs, masks = _train_data(np, XE_B)
+    att, amask, boxes = jnp.asarray(att), jnp.asarray(amask), jnp.asarray(boxes)
+    seqs, masks = jnp.asarray(seqs, jnp.int32), jnp.asarray(masks)
+    variables = model.init({"params": jax.random.PRNGKey(0)}, att, amask, seqs[:XE_B], boxes=boxes)
+    params = variables["params"]
+    cfg = Config(lr_scheduler="noam", optim="adam", d_model=D_MODEL, noamopt_warmup=10000,
+                 grad_clip=0.1, learning_rate=5e-4, max_train_step=100000)
+    opt_w = build_weight_optimizer(cfg, make_schedule(cfg, steps_per_epoch=1000))
+    state = {"params": params, "ow": opt_w.init(params), "step": jnp.zeros((), jnp.int32)}
+    base_rng = jax.random.PRNGKey(1)
+
+    @jax.jit
+    def xe_step(state):
+        k_drop = jax.random.fold_in(base_rng, state["step"])
+
+        def loss_fn(params):
+            lp = model.apply({"params": params}, att, amask, seqs, boxes=boxes,
+                             train=True, rngs={"dropout": k_drop})
+            return losses_mod.language_model_loss(lp, seqs[:, 1:], masks[:, 1:])
+
+        loss, gw = jax.value_and_grad(loss_fn)(state["params"])
+        uw, ow = opt_w.update(gw, state["ow"], state["params"])
+        import optax
+
+        return {"params": optax.apply_updates(state["params"], uw), "ow": ow,
+                "step": state["step"] + 1}, loss
+
+    import numpy as _np
+
+    state, loss = xe_step(state)
+    _np.asarray(loss)  # compile+warmup
+    t0 = time.perf_counter()
+    for _ in range(iters):
+        state, loss = xe_step(state)
+    _np.asarray(loss)
+    return iters / (time.perf_counter() - t0)
+
+
+def _synthetic_refs(np, b, tmp_dir="/tmp/sc_cpu_ref"):
+    words = lambda ids: " ".join(f"w{i}" for i in ids)  # noqa: E731
+    rng = np.random.default_rng(3)
+    gts = [[words(rng.integers(4, 200, rng.integers(8, 15))) for _ in range(5)] for _ in range(b)]
+    os.makedirs(tmp_dir, exist_ok=True)
+    df_path = os.path.join(tmp_dir, "df.p")
+    if not os.path.isfile(df_path):
+        from sparse_caption_tpu.metrics.cider import build_df_pickle
+
+        build_df_pickle(gts, df_path)
+    return gts, df_path, words
+
+
+def bench_reference_scst(iters: int) -> float:
+    """Reference SCST step: train-mode random sampling (captured logprobs)
+    -> vendored CiderD reward -> RewardCriterion bwd + Adam step
+    (reference utils/training.py:202-255)."""
+    import numpy as np
+    import torch
+
+    _stub_reference_deps()
+    from sparse_caption.models.relation_transformer import RelationTransformerModel
+    from sparse_caption.scst.scorers import CaptionScorer as RefScorer
+    from sparse_caption.utils import losses as ref_losses
+    from sparse_caption.utils.config import Config as RefConfig
+
+    cfg = RefConfig(
+        d_model=D_MODEL, dim_feedforward=FF, num_layers=LAYERS, num_heads=HEADS,
+        drop_prob_src=0.1, att_feat_size=FEAT, max_seq_length=MAX_LEN, vocab_size=VOCAB,
+        bos_token_id=2, eos_token_id=3, unk_token_id=1, pad_token_id=0,
+        share_att_encoder=None, share_att_decoder=None,
+        share_layer_encoder=None, share_layer_decoder=None,
+        no_box_trigonometric_embedding=False,
+    )
+    torch.manual_seed(0)
+    torch.set_num_threads(os.cpu_count() or 1)
+    model = RelationTransformerModel(cfg)
+    loss_fn = ref_losses.RewardCriterion()
+    optimizer = torch.optim.Adam(model.parameters(), lr=5e-4, betas=(0.9, 0.98), eps=1e-9)
+    gts, df_path, words = _synthetic_refs(np, SCST_B)
+    scorer = RefScorer(df_path[:-2], cider_weight=1.0, bleu_weight=[0.0] * 4)
+    rng = np.random.default_rng(2)
+    att = torch.tensor(rng.standard_normal((SCST_B, REGIONS, FEAT)).astype(np.float32))
+    amask = torch.ones((SCST_B, REGIONS))
+    boxes = torch.tensor(rng.uniform(0.05, 0.95, (SCST_B, REGIONS, 4)).astype(np.float32))
+
+    def step():
+        optimizer.zero_grad()
+        model.train()
+        sample_res, sample_logprobs = model(
+            att_feats=att, boxes=boxes, att_masks=amask, mode="sample",
+            opt={"num_random_sample": SCST_N, "beam_size": 0},
+        )
+        sample_decoded = [[words(row[row > 3]) for row in img] for img in sample_res.cpu().numpy()]
+        sc_s, sc_b = scorer(refs=gts, sample=sample_decoded, baseline=None)
+        reward = torch.from_numpy(sc_s - sc_b).type_as(sample_logprobs)
+        mask = sample_res.view(sample_res.size(0) * sample_res.size(1), -1) != model.pad_idx
+        loss = loss_fn(sample_logprobs, mask=mask, reward=reward)
+        loss.backward()
+        torch.nn.utils.clip_grad_value_(model.parameters(), 0.1)
+        optimizer.step()
+
+    step()  # warmup
+    t0 = time.perf_counter()
+    for _ in range(iters):
+        step()
+    return iters / (time.perf_counter() - t0)
+
+
+def bench_ours_scst(iters: int) -> float:
+    """Our two-phase SCST step: jitted train-mode sampling -> reward
+    (native C++ scorer when built, else pure Python) -> jitted
+    teacher-forced-replay REINFORCE update."""
+    import jax
+
+    jax.config.update("jax_platforms", "cpu")
+    import jax.numpy as jnp
+    import numpy as np
+
+    from sparse_caption_tpu.config import Config
+    from sparse_caption_tpu.decoding import generate
+    from sparse_caption_tpu.decoding.api import decode_train_keys
+    from sparse_caption_tpu.engine import losses as losses_mod
+    from sparse_caption_tpu.engine.optim import build_weight_optimizer, make_schedule
+    from sparse_caption_tpu.models.relation_transformer import RelationTransformer
+    from sparse_caption_tpu.scst import CaptionScorer
+    from sparse_caption_tpu.scst import native as native_scst
+
+    model = RelationTransformer(vocab_size=VOCAB, d_model=D_MODEL, dim_feedforward=FF,
+                                num_layers=LAYERS, num_heads=HEADS, att_feat_size=FEAT,
+                                max_seq_length=MAX_LEN + 1)
+    gts, df_path, words = _synthetic_refs(np, SCST_B)
+    scorer_cls = native_scst.NativeCaptionScorer if native_scst.is_available() else CaptionScorer
+    scorer = scorer_cls(df_path[:-2], cider_weight=1.0, bleu_weight=[0.0] * 4)
+    rng_np = np.random.default_rng(2)
+    att = jnp.asarray(rng_np.standard_normal((SCST_B, REGIONS, FEAT)), jnp.float32)
+    amask = jnp.ones((SCST_B, REGIONS), jnp.float32)
+    boxes = jnp.asarray(rng_np.uniform(0.05, 0.95, (SCST_B, REGIONS, 4)), jnp.float32)
+    t = MAX_LEN
+    seqs0 = jnp.asarray(rng_np.integers(4, VOCAB, (SCST_B, t + 1)), jnp.int32)
+    variables = model.init({"params": jax.random.PRNGKey(2)}, att, amask, seqs0, boxes=boxes)
+    params = variables["params"]
+    cfg = Config(lr_scheduler="noam", optim="adam", d_model=D_MODEL, noamopt_warmup=10000,
+                 grad_clip=0.1, learning_rate=5e-4, max_train_step=100000)
+    opt_w = build_weight_optimizer(cfg, make_schedule(cfg, steps_per_epoch=1000))
+    state = {"params": params, "ow": opt_w.init(params), "step": jnp.zeros((), jnp.int32)}
+    base_rng = jax.random.PRNGKey(3)
+    sample_opt = {"num_random_sample": SCST_N, "beam_size": 0, "max_seq_length": t,
+                  "temperature": 1.0, "decode_train": True}
+
+    @jax.jit
+    def sample_fn(params, step):
+        rng = jax.random.fold_in(base_rng, step)
+        v = {"params": params}
+        kd, km, kdec = jax.random.split(rng, 3)
+        memory = model.apply(v, att, amask, boxes, train=True,
+                             rngs={"dropout": kd, "mask": km}, method="encode")
+        return generate(model, v, memory, sample_opt, rng=kdec)[0]
+
+    @jax.jit
+    def grad_fn(state, sample_seq, rewards):
+        rng = jax.random.fold_in(base_rng, state["step"])
+        flat = sample_seq.reshape(SCST_B * SCST_N, t)
+
+        def loss_fn(params):
+            v = {"params": params}
+            kd, km, kdec = jax.random.split(rng, 3)
+            memory = model.apply(v, att, amask, boxes, train=True,
+                                 rngs={"dropout": kd, "mask": km}, method="encode")
+            _, dropout_key, _, _ = decode_train_keys(kdec)
+            seqs_in = jnp.concatenate(
+                [jnp.full((SCST_B * SCST_N, 1), model.bos_id, jnp.int32), flat], axis=1)
+            lp = model.apply(v, memory, seqs_in, True,
+                             method="decode_teacher_forced", rngs={"dropout": dropout_key})
+            seq_lp = jnp.take_along_axis(lp, flat[..., None], axis=2)[..., 0]
+            mask = (flat != model.pad_id).astype(seq_lp.dtype)
+            return losses_mod.reward_loss(seq_lp, mask, rewards)
+
+        loss, gw = jax.value_and_grad(loss_fn)(state["params"])
+        uw, ow = opt_w.update(gw, state["ow"], state["params"])
+        import optax
+
+        return {"params": optax.apply_updates(state["params"], uw), "ow": ow,
+                "step": state["step"] + 1}, loss
+
+    def step(state):
+        sample_np = np.asarray(sample_fn(state["params"], state["step"]))
+        sample_dec = [[words(sample_np[i, j][sample_np[i, j] > 3]) for j in range(SCST_N)]
+                      for i in range(SCST_B)]
+        sc_s, sc_b = scorer(refs=gts, sample=sample_dec, baseline=None)
+        rewards = np.asarray(sc_s - sc_b, np.float32)
+        return grad_fn(state, sample_np, rewards)
+
+    state, loss = step(state)
+    np.asarray(loss)  # compile+warmup
+    t0 = time.perf_counter()
+    for _ in range(iters):
+        state, loss = step(state)
+    np.asarray(loss)
+    return iters / (time.perf_counter() - t0)
+
+
+def _run_isolated(which: str, args) -> float:
+    """Run one sub-bench in a FRESH process: jax and torch contaminate each
+    other's thread pools when benched in the same process (measured: our
+    SCST step read 0.018 steps/s after torch benches ran vs 0.428 clean)."""
+    import subprocess
+
+    r = subprocess.run(
+        [sys.executable, os.path.abspath(__file__), "--only", which,
+         "--batch", str(args.batch), "--iters", str(args.iters),
+         "--train_iters", str(args.train_iters)],
+        capture_output=True, text=True, timeout=3600,
+    )
+    assert r.returncode == 0, f"{which}: {r.stderr[-2000:]}"
+    return float(json.loads(r.stdout.strip().splitlines()[-1])["value"])
+
+
 def main() -> None:
     ap = argparse.ArgumentParser(description=__doc__.split("\n")[0])
     ap.add_argument("--batch", type=int, default=4)
     ap.add_argument("--iters", type=int, default=2)
+    ap.add_argument("--train_iters", type=int, default=3)
+    ap.add_argument("--skip_decode", action="store_true")
+    ap.add_argument("--skip_train", action="store_true")
+    ap.add_argument("--only", type=str, default=None, help="internal: run one sub-bench")
     args = ap.parse_args()
     if not os.path.isdir(REFERENCE):
         print(json.dumps({"error": f"reference mount not found at {REFERENCE}"}))
@@ -135,19 +434,47 @@ def main() -> None:
 
     import numpy as np
 
-    rng = np.random.default_rng(0)
-    att = rng.standard_normal((args.batch, REGIONS, FEAT)).astype(np.float32)
-    amask = np.ones((args.batch, REGIONS), np.float32)
-    boxes = rng.uniform(0.05, 0.95, (args.batch, REGIONS, 4)).astype(np.float32)
+    if args.only:
+        rng = np.random.default_rng(0)
+        att = rng.standard_normal((args.batch, REGIONS, FEAT)).astype(np.float32)
+        amask = np.ones((args.batch, REGIONS), np.float32)
+        boxes = rng.uniform(0.05, 0.95, (args.batch, REGIONS, 4)).astype(np.float32)
+        fns = {
+            "ours_decode": lambda: bench_ours(att, amask, boxes, args.batch, args.iters),
+            "ref_decode": lambda: bench_reference(att, amask, boxes, args.batch, args.iters),
+            "ours_xe": lambda: bench_ours_xe(args.train_iters),
+            "ref_xe": lambda: bench_reference_xe(args.train_iters),
+            "ours_scst": lambda: bench_ours_scst(args.train_iters),
+            "ref_scst": lambda: bench_reference_scst(args.train_iters),
+        }
+        print(json.dumps({"value": fns[args.only]()}))
+        return
 
-    ours = bench_ours(att, amask, boxes, args.batch, args.iters)
-    theirs = bench_reference(att, amask, boxes, args.batch, args.iters)
-    print(json.dumps({
-        "ours_captions_per_sec": round(ours, 3),
-        "reference_captions_per_sec": round(theirs, 3),
-        "ours_over_reference_same_cpu": round(ours / theirs, 3),
-        "batch": args.batch, "beam": BEAM, "config": "ORT-512 paper scale, fp32, CPU",
-    }))
+    out = {"batch": args.batch, "beam": BEAM, "config": "ORT-512 paper scale, fp32, CPU"}
+    if not args.skip_decode:
+        ours = _run_isolated("ours_decode", args)
+        theirs = _run_isolated("ref_decode", args)
+        out.update({
+            "ours_captions_per_sec": round(ours, 3),
+            "reference_captions_per_sec": round(theirs, 3),
+            "ours_over_reference_same_cpu": round(ours / theirs, 3),
+        })
+    if not args.skip_train:
+        ours_xe = _run_isolated("ours_xe", args)
+        ref_xe = _run_isolated("ref_xe", args)
+        ours_scst = _run_isolated("ours_scst", args)
+        ref_scst = _run_isolated("ref_scst", args)
+        out.update({
+            "ours_xe_steps_per_sec": round(ours_xe, 3),
+            "reference_xe_steps_per_sec": round(ref_xe, 3),
+            "ours_over_reference_xe_same_cpu": round(ours_xe / ref_xe, 3),
+            "ours_scst_steps_per_sec": round(ours_scst, 3),
+            "reference_scst_steps_per_sec": round(ref_scst, 3),
+            "ours_over_reference_scst_same_cpu": round(ours_scst / ref_scst, 3),
+            "train_config": f"XE {XE_B}x{XE_SPI} captions; SCST b{SCST_B} n{SCST_N} "
+                            "random samples, sample-mean baseline",
+        })
+    print(json.dumps(out))
 
 
 if __name__ == "__main__":

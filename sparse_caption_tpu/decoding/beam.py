@@ -29,6 +29,7 @@ via sequential per-group scans with a cross-group diversity penalty.
 
 from __future__ import annotations
 
+import os
 from typing import Callable, NamedTuple, Optional, Sequence, Tuple
 
 import jax
@@ -37,6 +38,32 @@ import jax.numpy as jnp
 from sparse_caption_tpu.decoding.penalties import penalty_fn
 
 NEG_BIG = -1e18
+
+# Strategy for the V-wide per-beam top-K (the one op in the beam step that
+# touches the whole vocab; round-2 profile: 0.92 ms/step at batch 1024,
+# ~7x off the HBM read roofline for f32 lax.top_k on TPU).
+#   exact  - f32 lax.top_k (bit-exact; CPU default so the beam-output
+#            oracle tests vs the live reference stay exact)
+#   bf16   - select indices on a bf16 cast (halves the sort's compare
+#            bandwidth), then gather the f32 values of the K winners (the
+#            candidate resolve stays f32-exact). Only token selections
+#            whose f32 logprobs differ by < 1 bf16 ulp can flip — below
+#            sampling noise for beam search. TPU default.
+#   approx - jax.lax.approx_max_k(recall_target=1.0) (TPU PartialReduce)
+_TOPK_MODE = os.environ.get("SPARSE_CAPTION_BEAM_TOPK", "auto")
+
+
+def _row_topk(scores, k: int):
+    """Top-k over the trailing (vocab) axis; see _TOPK_MODE."""
+    mode = _TOPK_MODE
+    if mode == "auto":
+        mode = "bf16" if jax.default_backend() == "tpu" else "exact"
+    if mode == "bf16" and scores.dtype == jnp.float32:
+        _, idx = jax.lax.top_k(scores.astype(jnp.bfloat16), k)
+        return jnp.take_along_axis(scores, idx, axis=-1), idx
+    if mode == "approx":
+        return jax.lax.approx_max_k(scores, k, recall_target=1.0)
+    return jax.lax.top_k(scores, k)
 
 
 class BeamState(NamedTuple):
@@ -159,7 +186,7 @@ def beam_search(
         # final top-K over the tiny (K, K) candidate grid. This removes the
         # (B, K*V) candidate materialization + vocab-wide select that
         # dominated the decode step (CLAUDE.md round-1 profile).
-        row_lp, row_tok = jax.lax.top_k(constrained, k)  # (B*K, K) augmented
+        row_lp, row_tok = _row_topk(constrained, k)  # (B*K, K) augmented
         cand = state.sum_lp[..., None] + row_lp.reshape(batch_size, k, k).astype(state.sum_lp.dtype)
         top_scores, flat_ix = jax.lax.top_k(cand.reshape(batch_size, k * k), k)  # (B, K)
         beam_ix = flat_ix // k  # parent beam

@@ -447,12 +447,17 @@ class TrainingModule:
         )
 
         @jax.jit
-        def grad_fn(state: TrainState, inputs, sample_seq, rewards, rng=None):
-            """Recompute the sampling decode differentiably, REINFORCE update."""
+        def grad_fn(state: TrainState, inputs, sample_seq, rewards, rng=None, step=None):
+            """Recompute the sampling decode differentiably, REINFORCE update.
+
+            ``step`` (a traced scalar) overrides the key-derivation step —
+            the pipelined step passes the step AT SAMPLING TIME so the
+            recompute folds the identical rng even though state.step has
+            since advanced."""
             if rng is None:
                 # same derivation as sample_fn at the same (pre-update) step
                 # -> identical policy realization
-                rng = jax.random.fold_in(scst_base_rng, state.step)
+                rng = jax.random.fold_in(scst_base_rng, state.step if step is None else step)
             enc_kwargs = {k: v for k, v in inputs.items() if k != "seqs"}
             b, s, t = sample_seq.shape
             flat = jax.lax.stop_gradient(sample_seq).reshape(b * s, t)
@@ -488,6 +493,24 @@ class TrainingModule:
             return state.replace(params=params, masks=masks, opt_w=new_opt_w, opt_m=new_opt_m,
                                  step=state.step + 1), loss
 
+        def score_batch(res_np, gts):
+            """Host reward pass: decode tokens + CIDEr-D/BLEU scoring."""
+            sample_np = res_np["sample"]
+            sample_decoded = [[self.tokenizer.decode(sample_np[i, j]) for j in range(sample_np.shape[1])]
+                              for i in range(sample_np.shape[0])]
+            if baseline_mode == "greedy":
+                greedy_np = res_np["greedy"]
+                baseline_decoded = [[self.tokenizer.decode(greedy_np[i, 0])] for i in range(greedy_np.shape[0])]
+            else:
+                baseline_decoded = None
+            sc_sample, sc_baseline = self.scst_scorer(refs=gts, sample=sample_decoded,
+                                                      baseline=baseline_decoded)
+            rewards = np.asarray(sc_sample - sc_baseline, dtype=np.float32)
+            aux = {"avg_reward": float(np.mean(sc_sample - sc_baseline)),
+                   "avg_sample": float(np.mean(sc_sample)),
+                   "avg_baseline": float(np.mean(sc_baseline))}
+            return rewards, aux
+
         def scst_step(state: TrainState, batch, rng=None):
             inputs = self._model_inputs(batch, with_seqs=False)
             if rng is None:
@@ -500,24 +523,98 @@ class TrainingModule:
             # one batched device->host transfer (round trips are expensive on
             # tunneled TPU backends)
             res_np = jax.device_get(res)
-            sample_np = res_np["sample"]
-            sample_decoded = [[self.tokenizer.decode(sample_np[i, j]) for j in range(sample_np.shape[1])]
-                              for i in range(sample_np.shape[0])]
-            if baseline_mode == "greedy":
-                greedy_np = res_np["greedy"]
-                baseline_decoded = [[self.tokenizer.decode(greedy_np[i, 0])] for i in range(greedy_np.shape[0])]
-            else:
-                baseline_decoded = None
-            sc_sample, sc_baseline = self.scst_scorer(refs=batch["gts"], sample=sample_decoded,
-                                                      baseline=baseline_decoded)
-            rewards = np.asarray(sc_sample - sc_baseline, dtype=np.float32)
+            rewards, aux = score_batch(res_np, batch["gts"])
             # same key as phase 1 -> identical policy realization
             state, loss = grad_fn(state, inputs, sample_seq, rewards, k_sample)
-            return state, loss, {"avg_reward": float(np.mean(sc_sample - sc_baseline)),
-                                 "avg_sample": float(np.mean(sc_sample)),
-                                 "avg_baseline": float(np.mean(sc_baseline))}
+            return state, loss, aux
 
+        # pieces reused by the pipelined wrapper (make_scst_pipelined_step)
+        scst_step.sample_fn = sample_fn
+        scst_step.grad_fn = grad_fn
+        scst_step.score_batch = score_batch
+        scst_step.use_tf_replay = use_tf_replay
         return scst_step
+
+    def make_scst_pipelined_step(self):
+        """Software-pipelined SCST (``--scst_pipeline 1``): hides the host
+        reward pass behind device compute.
+
+        Per call (batch N):
+
+        1. dispatch batch N's sampling decode (async, ~3 ms on tunneled
+           backends) under the current state
+        2. queue batch N-1's REINFORCE grad step behind it (its rewards were
+           scored during the previous call)
+        3. fetch batch N's tokens (blocks only until the sampling finishes;
+           the queued grad keeps the device busy)
+        4. score batch N on host WHILE the device runs batch N-1's grad
+
+        The device therefore never idles during CIDEr-D scoring, which is
+        the serial two-phase step's dead time (~33 ms/step relay round trip
+        + scorer time).
+
+        Semantics delta vs the reference (utils/training.py:202-255),
+        documented and measured (STATUS.md round 3): batch N samples under
+        a policy that is ONE update stale (batch N-1's grad has not been
+        applied yet when N's sampling dispatches). Tokens and rewards stay
+        exactly paired; the teacher-forced replay recomputes their logprobs
+        under the by-then-current params (standard one-step policy lag, as
+        in async actor-learner RL). Restricted to the teacher-forced-replay
+        path (dense transformer + random sampling): the scan-recompute path
+        would REGENERATE tokens under the newer params and could diverge
+        from what was scored.
+        """
+        serial = self.make_scst_step()
+        if not serial.use_tf_replay:
+            raise ValueError(
+                "--scst_pipeline requires the teacher-forced-replay SCST path "
+                "(dense transformer-family model + --scst_sample random); the "
+                "scan-recompute path cannot tolerate policy lag")
+        sample_fn, grad_fn, score_batch = serial.sample_fn, serial.grad_fn, serial.score_batch
+        pending: Dict[str, Any] = {}
+        # key-derivation counter: state.step LAGS the batch index here (the
+        # grad for batch N-1 applies after batch N's sampling dispatch), so
+        # deriving from state.step would reuse a key for the first two
+        # batches and stay one behind thereafter. A host counter keeps the
+        # key schedule identical to the serial step's.
+        counter: Dict[str, int] = {}
+
+        def scst_pipelined_step(state: TrainState, batch, rng=None):
+            assert rng is None, "pipelined SCST derives keys from its batch counter"
+            inputs = self._model_inputs(batch, with_seqs=False)
+            if "v" not in counter:
+                counter["v"] = int(state.step)
+            # np scalar, not jnp: an eager device op here would cost a ~3 ms
+            # relay dispatch per step on tunneled backends
+            sample_step = np.asarray(counter["v"], np.int32)
+            counter["v"] += 1
+            res = sample_fn(self._variables(state), inputs, None, sample_step)
+            loss, aux = jnp.zeros(()), None
+            if pending:
+                p = pending.copy()
+                state, loss = grad_fn(state, p["inputs"], p["sample_seq"], p["rewards"],
+                                      None, p["step"])
+                aux = p["aux"]
+            # fetch this batch's tokens; the queued grad keeps the device busy
+            res_np = jax.device_get(res)
+            rewards, aux_n = score_batch(res_np, batch["gts"])  # overlaps the grad
+            pending.clear()
+            pending.update(inputs=inputs, sample_seq=res["sample"], rewards=rewards,
+                           step=sample_step, aux=aux_n)
+            return state, loss, aux
+
+        def flush(state: TrainState):
+            """Apply the last pending grad (epoch end / pre-checkpoint)."""
+            if not pending:
+                return state, None, None
+            p = pending.copy()
+            pending.clear()
+            state, loss = grad_fn(state, p["inputs"], p["sample_seq"], p["rewards"],
+                                  None, p["step"])
+            return state, loss, p["aux"]
+
+        scst_pipelined_step.flush = flush
+        return scst_pipelined_step
 
     def make_scst_fused_step(self):
         """Single-jit SCST step (``--scst_fused``): the sampling decode runs
@@ -800,11 +897,20 @@ class TrainingModule:
         t_start = time.time()
         bs = self.train_loader.batch_size
 
+        def scst_flush():
+            """Apply any in-flight pipelined grad before eval/checkpoint."""
+            if scst_step is not None and hasattr(scst_step, "flush"):
+                self.state = scst_step.flush(self.state)[0]
+
         for epoch in range(config.max_epochs):
             sc_flag = 0 <= int(config.get("scst_start_epoch", -1)) <= epoch
             if sc_flag and scst_step is None:
-                scst_step = (self.make_scst_fused_step() if config.get("scst_fused", False)
-                             else self.make_scst_step())
+                if config.get("scst_fused", False):
+                    scst_step = self.make_scst_fused_step()
+                elif config.get("scst_pipeline", False):
+                    scst_step = self.make_scst_pipelined_step()
+                else:
+                    scst_step = self.make_scst_step()
             for batch in self.train_loader:
                 # no per-step host rng: the jitted steps fold their base key
                 # with state.step internally (eager host splits are ~3 ms
@@ -837,7 +943,9 @@ class TrainingModule:
                             self.tb.add_scalar(f"train/{k2}", float(v), self.global_step)
 
                 if self.global_step % save_every == 0 or self.global_step == self.max_train_step:
+                    scst_flush()
                     self.checkpoint_and_eval()
+            scst_flush()  # epoch boundary: no grad left in flight
         self.tb.close()
 
     # hooks overridden by the prune trainer

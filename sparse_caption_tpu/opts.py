@@ -73,6 +73,11 @@ def add_training_args(parser) -> None:
                         help="single-jit SCST step: sampling under grad + io_callback rewards "
                              "(requires a PJRT backend with host callbacks; tunneled/relay TPU "
                              "backends may not support it — the default two-phase step always works)")
+    parser.add_argument("--scst_pipeline", action="store_true",
+                        help="software-pipelined SCST: host CIDEr-D scoring of batch N overlaps "
+                             "the device grad step of batch N-1 (device never idles). Documented "
+                             "semantics delta: sampling runs under a one-update-stale policy. "
+                             "Requires dense transformer + --scst_sample random")
     parser.add_argument("--beam_size_test", type=int, default=2)
     parser.add_argument("--beam_size_val", type=int, default=1)
     parser.add_argument("--eval_dir_suffix", type=str, default=None)

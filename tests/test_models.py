@@ -215,6 +215,33 @@ class TestGeneration:
                 else:  # length-forced beams carry max_len real tokens
                     assert (row != 0).all()
 
+    def test_row_topk_modes_agree(self):
+        """The beam step's V-wide top-k strategies (decoding/beam.py
+        _row_topk): bf16-select returns the exact f32 values for its
+        winners, and agrees with exact top-k away from sub-ulp ties."""
+        from sparse_caption_tpu.decoding import beam as beam_mod
+
+        rng = np.random.default_rng(0)
+        scores = jnp.asarray(rng.standard_normal((64, 1000)) * 4, jnp.float32)
+        k = 5
+        v_exact, i_exact = jax.lax.top_k(scores, k)
+        old = beam_mod._TOPK_MODE
+        try:
+            beam_mod._TOPK_MODE = "bf16"
+            v_b, i_b = beam_mod._row_topk(scores, k)
+        finally:
+            beam_mod._TOPK_MODE = old
+        # values are true f32 gathers, not bf16-rounded
+        np.testing.assert_array_equal(
+            np.asarray(v_b), np.take_along_axis(np.asarray(scores), np.asarray(i_b), axis=1))
+        # winner SETS match wherever no two candidates tie within a bf16 ulp
+        for r in range(scores.shape[0]):
+            se, sb = set(np.asarray(i_exact[r])), set(np.asarray(i_b[r]))
+            if se != sb:
+                disputed = (se | sb) - (se & sb)
+                vals = np.sort([float(scores[r, i]) for i in disputed])
+                assert np.max(np.diff(vals)) < np.abs(vals).max() * 2 ** -7
+
     def test_beam_top1_beats_greedy_score(self, model_and_memory):
         """Beam-1 top candidate == greedy (same argmax path)."""
         m, vs, mem = model_and_memory

@@ -187,6 +187,133 @@ def test_teacher_forced_replay_matches_sampling_logprobs(fixture_dataset, tmp_pa
                                np.asarray(seq_lp).reshape(n, t)[valid], atol=1e-5)
 
 
+def test_beam_scst_recompute_is_deterministic_and_differentiable(fixture_dataset, tmp_path):
+    """Beam-mode SCST (reference utils/training.py:225-230): the grad pass
+    re-runs the beam decode (a fixed-shape lax.scan, differentiable as-is)
+    with the same rng — it must reproduce the sampling pass's selected
+    tokens and per-step logprobs bit for bit, and gradients must flow
+    through the whole beam scan (nonzero for decoder params)."""
+    import jax
+    import jax.numpy as jnp
+
+    from sparse_caption_tpu.decoding import generate
+
+    module = _module(fixture_dataset, tmp_path / "beamdet",
+                     extra=["--scst_sample", "beam_search"])
+    model = module.model
+    batch = next(iter(module.train_loader))
+    inputs = module._model_inputs(batch, with_seqs=False)
+    variables = module._variables(module.state)
+    beam_opt = {"beam_size": 3, "max_seq_length": 9, "decode_train": True}
+    rng = jax.random.PRNGKey(23)
+    k_d, k_m, k_dec = jax.random.split(rng, 3)
+    memory = model.apply(variables, **inputs, train=True,
+                         rngs={"dropout": k_d, "mask": k_m}, method="encode")
+    seq1, lp1 = generate(model, variables, memory, beam_opt, rng=k_dec)
+    # identical rng -> identical realization (this is exactly what grad_fn's
+    # _train_sample(differentiable=True) recompute runs)
+    seq2, lp2 = generate(model, variables, memory, dict(beam_opt, differentiable=True), rng=k_dec)
+    np.testing.assert_array_equal(np.asarray(seq1), np.asarray(seq2))
+    valid = np.asarray(seq1) != model.pad_id
+    assert valid.any()
+    np.testing.assert_array_equal(np.asarray(lp1)[valid], np.asarray(lp2)[valid])
+
+    # gradients flow through the beam scan into the decoder params
+    def loss_fn(params):
+        vs = dict(variables, params=params)
+        mem = model.apply(vs, **inputs, train=True,
+                          rngs={"dropout": k_d, "mask": k_m}, method="encode")
+        _, lp = generate(model, vs, mem, beam_opt, rng=k_dec)
+        mask = (seq1 != model.pad_id).astype(lp.dtype)
+        return jnp.sum(lp * mask)
+
+    grads = jax.grad(loss_fn)(variables["params"])
+    gnorm = sum(float(jnp.sum(jnp.abs(g))) for g in jax.tree.leaves(grads))
+    assert np.isfinite(gnorm) and gnorm > 0
+
+
+@pytest.mark.parametrize("baseline", ["greedy", "sample"])
+def test_two_phase_step_equals_fused_step_beam(fixture_dataset, tmp_path, baseline):
+    """Beam-mode SCST: two-phase (beam recompute) and fused steps produce
+    the same update — the published beam-SCST variants' gradient proof
+    (reference resources/commands_pruning.sh:47-70)."""
+    import jax
+
+    module = _module(fixture_dataset, tmp_path / f"beameq_{baseline}",
+                     extra=["--scst_sample", "beam_search", "--scst_baseline", baseline])
+    two_phase = module.make_scst_step()
+    fused = module.make_scst_fused_step()
+    batch = next(iter(module.train_loader))
+    rng = jax.random.PRNGKey(29)
+    k_sample, _ = jax.random.split(rng)
+    state_a, loss_a, aux_a = two_phase(module.state, batch, rng)
+    state_b, loss_b, aux_b = fused(module.state, batch, k_sample)
+    np.testing.assert_allclose(float(loss_a), float(loss_b), atol=1e-6)
+    np.testing.assert_allclose(aux_a["avg_reward"], aux_b["avg_reward"], atol=1e-6)
+    for a, b in zip(jax.tree.leaves(state_a.params), jax.tree.leaves(state_b.params)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-6)
+    for a, b in zip(jax.tree.leaves(state_a.masks), jax.tree.leaves(state_b.masks)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-6)
+
+
+def test_pipelined_scst_matches_serial_modulo_lag(fixture_dataset, tmp_path):
+    """--scst_pipeline overlaps host scoring with the previous batch's grad;
+    its only semantics delta is a one-update policy lag. With learning rate
+    0 the lag vanishes, so the pipelined step's per-batch rewards and
+    losses must EXACTLY equal the serial two-phase step's, shifted by one
+    call; and with a real lr, flush() leaves exactly one optimizer step per
+    batch."""
+    import jax
+
+    lr0 = ["--lr_scheduler", "step", "--learning_rate", "0.0",
+           "--learning_rate_decay_start", "-1"]
+    mod_a = _dense_module(fixture_dataset, tmp_path / "ser", extra=lr0)
+    mod_b = _dense_module(fixture_dataset, tmp_path / "pipe", extra=lr0 + ["--scst_pipeline"])
+    serial = mod_a.make_scst_step()
+    pipelined = mod_b.make_scst_pipelined_step()
+
+    batches = list(mod_a.train_loader)[:3]
+    ser_out, pipe_out = [], []
+    sa, sb = mod_a.state, mod_b.state
+    for batch in batches:
+        sa, loss_a, aux_a = serial(sa, batch)
+        ser_out.append((float(loss_a), aux_a["avg_reward"]))
+    for batch in batches:
+        sb, loss_b, aux_b = pipelined(sb, batch)
+        pipe_out.append((float(loss_b), aux_b["avg_reward"] if aux_b else None))
+    sb, loss_last, aux_last = pipelined.flush(sb)
+    pipe_out.append((float(loss_last), aux_last["avg_reward"]))
+
+    # first pipelined call reports no completed grad; thereafter call k
+    # reports batch k-1's loss/reward — identical to serial at lr 0
+    assert pipe_out[0][1] is None
+    for k in range(len(batches)):
+        np.testing.assert_allclose(pipe_out[k + 1][0], ser_out[k][0], atol=1e-6)
+        np.testing.assert_allclose(pipe_out[k + 1][1], ser_out[k][1], atol=1e-9)
+    assert int(sb.step) == len(batches)  # one optimizer step per batch after flush
+
+    # with a REAL lr the pipelined runner still applies every update
+    mod_c = _dense_module(fixture_dataset, tmp_path / "pipe_lr")
+    pipe_c = mod_c.make_scst_pipelined_step()
+    sc = mod_c.state
+    p0 = jax.tree.leaves(sc.params)[0].copy()
+    for batch in batches:
+        sc, _, _ = pipe_c(sc, batch)
+    sc, _, _ = pipe_c.flush(sc)
+    assert int(sc.step) == len(batches)
+    assert not np.allclose(np.asarray(jax.tree.leaves(sc.params)[0]), np.asarray(p0))
+
+
+def test_pipelined_scst_rejects_non_replay_configs(fixture_dataset, tmp_path):
+    """Pipelining is gated to the teacher-forced-replay path: the scan
+    recompute would regenerate tokens under lagged params."""
+    import pytest as _pytest
+
+    mod = _module(fixture_dataset, tmp_path / "gate")  # supermask model
+    with _pytest.raises(ValueError, match="teacher-forced-replay"):
+        mod.make_scst_pipelined_step()
+
+
 def test_dense_two_phase_uses_tf_replay_and_equals_fused(fixture_dataset, tmp_path):
     """The dense two-phase step (teacher-forced replay grad pass) produces
     the same parameter update as the fused captured-logprob step."""
