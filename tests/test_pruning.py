@@ -4,6 +4,8 @@ type; asserts initial sparsity 0, one-shot methods hit target +-0.05,
 supermask converges toward target, frozen scope raises active > all
 sparsity, and weights stay dense until prune_weights()."""
 
+import os
+
 import jax
 import jax.numpy as jnp
 import numpy as np
@@ -196,3 +198,36 @@ class TestExport:
             sorted(jax.tree_util.tree_leaves_with_path(restored), key=str),
         ):
             np.testing.assert_allclose(np.asarray(a), np.asarray(b), rtol=1e-6)
+
+
+def test_supermask_recipe_converges_at_intermediate_scale():
+    """The REFERENCE pruning recipe (mask Adam lr 100 eps 1e-2, sparsity
+    weight max(5, 1.5/(1-s)) = 30 at target 0.95, reversed-cosine anneal
+    over the full horizon — train_n_prune_transformer.py:69-82,306-312)
+    converges at an intermediate model scale, not just the d8-16 toys:
+    ORT d64/ff256/1L vocab 512 on a memorizable synthetic task reaches
+    NNZ within +-5% (relative) of the 5% target with DECREASING caption
+    loss. Horizon note (VERDICT r2 next #1): time-to-target scales with
+    the mask count — d64/1L needs ~800 steps, the paper-scale ORT-512 run
+    is the TPU probe scripts/check_supermask_dynamics.py (results in
+    STATUS.md)."""
+    import json
+    import subprocess
+    import sys as _sys
+
+    r = subprocess.run(
+        [_sys.executable,
+         os.path.join(os.path.dirname(__file__), "..", "scripts", "check_supermask_dynamics.py"),
+         "--platform", "cpu", "--d_model", "64", "--dim_feedforward", "256",
+         "--num_layers", "1", "--num_heads", "2", "--vocab_size", "512",
+         "--att_feat_size", "64", "--steps", "800", "--chunk", "50", "--skip_scst"],
+        capture_output=True, text=True, timeout=1800,
+    )
+    assert r.returncode == 0, r.stderr[-3000:]
+    out = json.loads(r.stdout.strip().splitlines()[-1])
+    assert out["nnz_within_5pct"], out
+    assert out["loss_decreasing"], out
+    # sparsity is monotone through the anneal tail (the mask optimizer is
+    # in control, not oscillating)
+    sps = [c["sparsity"] for c in out["curve"]]
+    assert all(b >= a - 1e-3 for a, b in zip(sps, sps[1:])), sps
