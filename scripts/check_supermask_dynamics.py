@@ -83,6 +83,10 @@ def main() -> None:
     ap.add_argument("--num_heads", type=int, default=None)
     ap.add_argument("--vocab_size", type=int, default=None)
     ap.add_argument("--att_feat_size", type=int, default=None)
+    ap.add_argument("--sparsity_weight", type=float, default=None,
+                    help="override the computed max(5,1.5/(1-s)); the reference's ORT "
+                         "supermask commands sweep explicit 40/80/120 "
+                         "(commands_pruning.sh:259-268)")
     args = ap.parse_args()
 
     global VOCAB, D_MODEL, FF, LAYERS, HEADS, FEAT
@@ -115,7 +119,7 @@ def main() -> None:
         mask_sparsity,
     )
 
-    weight = max(5.0, 1.5 / (1.0 - TARGET))  # = 30 at 0.95
+    weight = args.sparsity_weight or max(5.0, 1.5 / (1.0 - TARGET))  # default 30 at 0.95
     mask_cfg = MaskConfig(mask_type="supermask", mask_init_value=5.0)
     model = RelationTransformer(
         vocab_size=VOCAB, d_model=D_MODEL, dim_feedforward=FF, num_layers=LAYERS,
