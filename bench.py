@@ -172,10 +172,12 @@ def _make_train_pieces(jax, jnp, prune: bool):
     return model, opt_w, opt_m, optax
 
 
-def bench_xe_step(jax, jnp, b: int = 15):
+def bench_xe_step(jax, jnp, b: int = 15, bf16_compute: bool = False):
     """Supermask XE train step at b images x 5 captions (reference batch 15,
     utils/training.py:396-415; larger b quantifies the latency-vs-MFU
-    tradeoff — the chip is mostly idle at the reference batch)."""
+    tradeoff — the chip is mostly idle at the reference batch).
+    bf16_compute mirrors --train_precision bf16 (differentiable cast of
+    params+activations; master params stay f32)."""
     from sparse_caption_tpu.engine import losses as losses_mod
 
     model, opt_w, opt_m, optax = _make_train_pieces(jax, jnp, prune=True)
@@ -201,11 +203,18 @@ def bench_xe_step(jax, jnp, b: int = 15):
         k_drop, k_mask = jax.random.split(jax.random.fold_in(base_rng, state["step"]))
 
         def loss_fn(params, masks):
-            # f32 params: JAX's default TPU matmul precision already runs f32
+            # f32 params default: JAX's TPU matmul precision already runs f32
             # dots on the MXU in bf16, so --train_precision bf16 is neutral on
-            # step time at this batch (A/B'd: 48.1 f32 vs 47.0 bf16 steps/s) —
-            # its value is activation/weight HBM headroom, not speed
-            lp = model.apply({"params": params, "masks": masks}, att, amask, seqs, boxes=boxes,
+            # step time at the reference batch (A/B'd: 48.1 f32 vs 47.0 bf16
+            # steps/s) — its value is activation/weight HBM headroom, which
+            # bf16_compute quantifies at the large-batch point
+            a, am = att, amask
+            if bf16_compute:
+                params = jax.tree.map(
+                    lambda x: x.astype(jnp.bfloat16) if jnp.issubdtype(x.dtype, jnp.floating) else x,
+                    params)
+                a, am = att.astype(jnp.bfloat16), amask.astype(jnp.bfloat16)
+            lp = model.apply({"params": params, "masks": masks}, a, am, seqs, boxes=boxes,
                              train=True, rngs={"dropout": k_drop, "mask": k_mask})
             return losses_mod.language_model_loss(lp, seqs[:, 1:], seq_masks[:, 1:])
 

@@ -17,7 +17,6 @@ All shapes static for XLA.
 from __future__ import annotations
 
 import math
-import os
 from typing import Optional
 
 import jax
@@ -79,18 +78,11 @@ class RefLayerNorm(nn.Module):
         d = x.shape[-1]
         a = self.param("scale", nn.initializers.ones_init(), (d,))
         b = self.param("bias", nn.initializers.zeros_init(), (d,))
-        if x.dtype == jnp.bfloat16 and os.environ.get("SPARSE_CAPTION_LN_STATS") == "bf16":
-            # opt-in eval-only experiment (round-2 profile: f32 LN-stat
-            # reduces were ~5 ms of the 32 ms batch-1024 encoder): compute
-            # stats in bf16 to skip the upcast/downcast pair around each
-            # reduce. NOT for training — bf16 mean/var lose ~2-3 digits.
-            mean = jnp.mean(x, axis=-1, keepdims=True)
-            var = jnp.sum(jnp.square(x - mean), axis=-1, keepdims=True) / max(d - 1, 1)
-            std = jnp.sqrt(var)
-            return a.astype(x.dtype) * (x - mean) / (std + jnp.asarray(self.eps, x.dtype)) \
-                + b.astype(x.dtype)
         # stats in f32 for stability, result back in the input dtype so bf16
-        # runs stay bf16 end to end (exact no-op for f32 runs)
+        # runs stay bf16 end to end (exact no-op for f32 runs). A bf16-stats
+        # eval variant was A/B'd in round 3 and LOST (4600 vs 4654 cap/s
+        # in-loop at batch 1024): XLA fuses the dtype casts into the reduce,
+        # so f32 stats cost nothing — deleted, writeup in CLAUDE.md.
         xf = x.astype(jnp.float32)
         mean = jnp.mean(xf, axis=-1, keepdims=True)
         # torch .std() is Bessel-corrected (ddof=1)
