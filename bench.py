@@ -687,6 +687,9 @@ def main() -> None:
     scst_sps, scst_pipe_sps = scst if scst else (None, None)
     scst_beam_sps = guarded("scst_beam", bench_scst_beam_step, jax, jnp)
     xe_b256 = guarded("xe_b256", bench_xe_step, jax, jnp, 256)
+    # --train_precision bf16 is neutral at the reference batch (latency
+    # bound) but +13% at batch 256 (HBM-bound regime): A/B'd r3
+    xe_b256_bf16 = guarded("xe_b256_bf16", bench_xe_step, jax, jnp, 256, True)
     updown = guarded("updown", bench_updown, jax, jnp)
     acort = guarded("acort", bench_acort, jax, jnp)
 
@@ -712,12 +715,14 @@ def main() -> None:
         "scst_pipelined_steps_per_sec": round(scst_pipe_sps, 3) if scst_pipe_sps else None,
         "scst_beam_steps_per_sec": round(scst_beam_sps, 3) if scst_beam_sps else None,
         "xe_steps_per_sec_batch256": round(xe_b256, 3) if xe_b256 else None,
+        "xe_steps_per_sec_batch256_bf16": round(xe_b256_bf16, 3) if xe_b256_bf16 else None,
         "device_kind": kind,
         "peak_tflops_bf16": peak,
         "xe_model_tflops_per_step": round(f15 / 1e12, 4),
         "xe_mfu": mfu(f15, xe_sps),
         "xe_b256_model_tflops_per_step": round(f256 / 1e12, 4),
         "xe_b256_mfu": mfu(f256, xe_b256),
+        "xe_b256_bf16_mfu": mfu(f256, xe_b256_bf16),
         "updown_captions_per_sec": round(updown[0], 1) if updown else None,
         "updown_xe_steps_per_sec": round(updown[1], 3) if updown else None,
         "acort_captions_per_sec": round(acort[0], 1) if acort else None,
