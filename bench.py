@@ -14,15 +14,16 @@ heads, vocab 10k, 36 regions x 2048 features, max caption length 17
 BOS). Params/activations run in bf16 — the framework's supported eval
 precision (scripts/eval_model.py --cast bf16) and standard TPU practice.
 
-* decode: batch 1024 at beam 5, one jitted graph (encode + cached decode
-  scan + ancestry beam reorder); batch sweep round 2: 64 -> 1579, 128 ->
-  2468, 256 -> 3197, 512 -> 3469, 1024 -> 4518, 2048 -> 4799 captions/s
-  (eval batching is a free knob, reference default batch_size_eval=50;
-  1024 is the knee of the curve — 2048 adds only +6% for 2x the batch
-  latency).  Profile at 1024: the per-step self/cross-attention cache
-  reads run at the HBM roofline (~0.25 ms/layer/step for the 94 MB
-  K-cache read); remaining headroom is the V-wide top_k (0.9 ms/step,
-  ~7x off bandwidth) and sub-roofline small fusions.
+* decode: batch 2048 at beam 5, one jitted graph (encode + cached decode
+  scan + ancestry beam reorder); round-3 sweep with the bf16 top-k:
+  1024 -> 4631, 2048 -> 4852 (the throughput peak), 4096 -> 4696
+  captions/s (eval batching is a free knob, reference default
+  batch_size_eval=50; past 2048 the cache reads exceed HBM residency
+  sweet spots and throughput regresses). Fusion-level profile
+  (resources/profile_decode_r3.json): per-step self/cross cache reads
+  within 2x of the HBM roofline, generator matmul at the MXU bound,
+  top-k kCustom lowering-bound (not bandwidth-bound) — every remaining
+  op is at its structural bound.
 * xe_steps_per_sec: supermask-prune XE step (batch 15 images x 5 captions,
   the reference's training batch, utils/training.py:396-415) — jitted
   fwd+bwd+both optimizers, fresh Bernoulli mask draw per forward.
@@ -48,9 +49,9 @@ throughput of the reference PyTorch implementation at beam 5 (batched
 incremental decoding of this architecture), so >1.0 means faster than the
 reference on its own class of hardware. A MEASURED same-hardware anchor
 exists too: scripts/bench_cpu_vs_reference.py runs both implementations on
-the identical CPU — this framework decodes 2.3x faster than the live
-reference (batch 4: 6.16 vs 2.69 captions/s; batch 16: 8.61 vs 3.77;
-fp32, paper-scale ORT, beam 5).
+the identical CPU (fresh process per sub-bench) — round-3 quiet-host
+numbers: decode 2.09x, XE train step 1.19x, SCST train step 1.94x faster
+than the live reference (fp32, paper-scale ORT).
 """
 
 from __future__ import annotations
@@ -67,7 +68,7 @@ import numpy as np
 
 BASELINE_CAPTIONS_PER_SEC = 100.0  # est. reference impl. on one A100, beam 5
 
-BATCH = int(os.environ.get("BENCH_BATCH", 1024))
+BATCH = int(os.environ.get("BENCH_BATCH", 2048))
 BEAM = 5
 VOCAB = 10000
 D_MODEL = 512
