@@ -83,13 +83,16 @@ def main() -> None:
     ap.add_argument("--num_heads", type=int, default=None)
     ap.add_argument("--vocab_size", type=int, default=None)
     ap.add_argument("--att_feat_size", type=int, default=None)
+    ap.add_argument("--sparsity_target", type=float, default=None,
+                    help="override the 0.95 default (the paper also publishes 0.975/0.9875)")
     ap.add_argument("--sparsity_weight", type=float, default=None,
                     help="override the computed max(5,1.5/(1-s)); the reference's ORT "
                          "supermask commands sweep explicit 40/80/120 "
                          "(commands_pruning.sh:259-268)")
     args = ap.parse_args()
 
-    global VOCAB, D_MODEL, FF, LAYERS, HEADS, FEAT
+    global VOCAB, D_MODEL, FF, LAYERS, HEADS, FEAT, TARGET
+    TARGET = args.sparsity_target or TARGET
     VOCAB = args.vocab_size or VOCAB
     D_MODEL = args.d_model or D_MODEL
     FF = args.dim_feedforward or FF

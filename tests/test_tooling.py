@@ -193,3 +193,26 @@ def test_plot_supermask_fig(tmp_path):
     for name in ("mask", "mask_sigmoid", "mask_bern", "mask_round",
                  "weight", "weight_bern", "weight_round"):
         assert (tmp_path / f"{name}.png").is_file()
+
+
+def test_collect_scores_passes_skip_markers(tmp_path):
+    """scores.csv rows carrying 'skipped (jar unavailable)' markers (the
+    round-3 METEOR/SPICE convention) flow through collect_scores without
+    crashing the x100 variant; numeric columns still scale."""
+    run = make_run(str(tmp_path), "run_m", 1.0)
+    # rewrite the val scores with marker strings in METEOR/SPICE
+    d = os.path.join(run, "val_beam_1")
+    with open(os.path.join(d, "scores.csv"), "w") as f:
+        f.write("Step,Bleu_1,Bleu_2,Bleu_3,Bleu_4,METEOR,ROUGE_L,CIDEr,SPICE\n")
+        f.write("00000002,0.6,0.5,0.4,0.3,skipped (jar unavailable),0.5,1.000,"
+                "skipped (jar unavailable)\n")
+    out = str(tmp_path / "compiled.csv")
+    r = subprocess.run([sys.executable, os.path.join(SCRIPTS, "collect_scores.py"),
+                        "--runs_dir", str(tmp_path), "--output", out],
+                       capture_output=True, text=True)
+    assert r.returncode == 0, r.stderr
+    rows = {row["run"]: row for row in csv.DictReader(open(out))}
+    assert rows["run_m"]["val_beam_1/METEOR"] == "skipped (jar unavailable)"
+    rows100 = {row["run"]: row for row in csv.DictReader(open(out.replace(".csv", "_100x.csv")))}
+    assert rows100["run_m"]["val_beam_1/CIDEr"] == "100.0"
+    assert rows100["run_m"]["val_beam_1/METEOR"] == "skipped (jar unavailable)"
