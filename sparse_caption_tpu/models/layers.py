@@ -239,7 +239,13 @@ class MultiHeadAttention(nn.Module):
         K/V rows are NOT repeated — each group of N/B query rows reads its
         image's memory via broadcast, cutting cross-attention HBM traffic by
         the group factor (the reference repeats the projected cache
-        per-beam, transformer.py:240-252)."""
+        per-beam, transformer.py:240-252).
+
+        ``mem_v=None`` means V shares K's storage (ACORT share_att="kv":
+        the kv projection makes K and V identical, so the cache holds one
+        copy — half the cross-cache HBM reads)."""
+        if mem_v is None:
+            mem_v = mem_k
         q = _split_heads(self.q_proj(x_t, train), self.num_heads)  # (N, h, 1, dk)
         b = mem_k.shape[0]
         rep = q.shape[0] // b
@@ -287,17 +293,24 @@ class MultiHeadAttention(nn.Module):
         FLOPs at beam widths). Exact: the one-hot selection reproduces the
         physically-reordered scores bit-for-bit in bf16/f32.
         """
+        shared_cache = cache_v is None  # share_att="kv": one cache array
         if self.share_att is None and self.mask_cfg is None and not train:
             q, k_t, v_t = self._fused_qkv_step(x_t)
         else:
             q = _split_heads(self.q_proj(x_t, train), self.num_heads)
             k_t, v_t = self._project_kv(x_t, x_t, train)
         cache_k = jax.lax.dynamic_update_slice_in_dim(cache_k, k_t, t, axis=2)
-        cache_v = jax.lax.dynamic_update_slice_in_dim(cache_v, v_t, t, axis=2)
+        if shared_cache:
+            # K and V are identical under the kv projection — storing one
+            # copy halves the self-cache HBM write+read per step
+            cache_v_read = cache_k
+        else:
+            cache_v = jax.lax.dynamic_update_slice_in_dim(cache_v, v_t, t, axis=2)
+            cache_v_read = cache_v
         t_max = cache_k.shape[2]
         valid = (jnp.arange(t_max) <= t)[None, None, None, :]  # (1,1,1,T_max)
         if ancestry_onehot is None:
-            out = scaled_dot_attention(q, cache_k, cache_v, mask=valid)
+            out = scaled_dot_attention(q, cache_k, cache_v_read, mask=valid)
             return self.out_proj(_merge_heads(out), train), cache_k, cache_v
 
         b, k, _, _ = ancestry_onehot.shape
@@ -305,7 +318,7 @@ class MultiHeadAttention(nn.Module):
         a = ancestry_onehot.astype(q.dtype)
         qg = q.reshape(b, k, h, dk)
         kg = cache_k.reshape(b, k, h, t_max, dk)
-        vg = cache_v.reshape(b, k, h, t_max, dk)
+        vg = cache_v_read.reshape(b, k, h, t_max, dk)
         # scores of beam k's query against EVERY row j's key at each slot,
         # then one-hot-select the ancestor row per (k, t')
         scores_all = jnp.einsum("bkhd,bjhtd->bkhtj", qg, kg) / math.sqrt(dk)

@@ -110,17 +110,21 @@ class DecoderLayer(nn.Module):
              ancestry_onehot=None):
         """One decode step. layer_cache: {self_k, self_v}; cross: {cross_k, cross_v}."""
         def self_fn(y):
+            # "self_v" absent = kv-shared layer caching one array (ACORT)
             out, new_k, new_v = self.self_attn.decode_self(
-                y, layer_cache["self_k"], layer_cache["self_v"], t, train,
+                y, layer_cache["self_k"], layer_cache.get("self_v"), t, train,
                 ancestry_onehot=ancestry_onehot,
             )
-            layer_cache["self_k"], layer_cache["self_v"] = new_k, new_v
+            layer_cache["self_k"] = new_k
+            if new_v is not None:
+                layer_cache["self_v"] = new_v
             return out
 
         x_t = self.sub0(x_t, self_fn, train, t=t)
         x_t = self.sub1(
             x_t,
-            lambda y: self.src_attn.decode_cross(y, cross["cross_k"], cross["cross_v"], mem_mask, train),
+            lambda y: self.src_attn.decode_cross(y, cross["cross_k"], cross.get("cross_v"),
+                                                 mem_mask, train),
             train, t=t,
         )
         # note: a Pallas fused ln+FFN kernel for this block was A/B'd twice
@@ -287,14 +291,18 @@ class Transformer(nn.Module):
         dk = self.d_model // self.num_heads
         layers, cross = [], []
         for i in self.dec_plan:
-            ck, cv = self.decoder_layers[i].project_memory_kv(memory, train)
-            layers.append(
-                {
-                    "self_k": jnp.zeros((rows, self.num_heads, t_max, dk), ck.dtype),
-                    "self_v": jnp.zeros((rows, self.num_heads, t_max, dk), ck.dtype),
-                }
-            )
-            cross.append({"cross_k": ck, "cross_v": cv})
+            layer = self.decoder_layers[i]
+            ck, cv = layer.project_memory_kv(memory, train)
+            entry = {"self_k": jnp.zeros((rows, self.num_heads, t_max, dk), ck.dtype)}
+            if layer.self_attn.share_att != "kv":
+                entry["self_v"] = jnp.zeros((rows, self.num_heads, t_max, dk), ck.dtype)
+            # kv-shared layers store ONE cache array (K == V under the kv
+            # projection): halves decode-cache HBM footprint and traffic
+            layers.append(entry)
+            if layer.src_attn.share_att == "kv":
+                cross.append({"cross_k": ck})
+            else:
+                cross.append({"cross_k": ck, "cross_v": cv})
         # "static": beam-invariant per image -> exempt from beam reorder
         cache = {"layers": layers, "static": {"cross": cross}}
         if beam_ancestry:

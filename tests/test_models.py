@@ -82,6 +82,43 @@ class TestTransformer:
 
         assert float(diff(vs)) < 1e-5
 
+    def test_cache_parity_exact_kv_shared(self, batch):
+        """ACORT's kv-shared attention caches ONE K/V array (K == V under
+        the kv projection) — incremental decode must still equal full
+        teacher forcing, and the cache must actually be deduplicated."""
+        att, amask, fc, boxes, seqs = batch
+        m = tiny_transformer(share_att_encoder="kv", share_att_decoder="kv")
+        vs = _init(m, att, amask, seqs)
+        enc = m.apply(vs, att, amask, method="encode")
+        cache = m.apply(vs, enc, method="init_cache")
+        for entry in cache["layers"]:
+            assert "self_v" not in entry  # single-array self cache
+        for entry in cache["static"]["cross"]:
+            assert "cross_v" not in entry  # single-array cross cache
+
+        @jax.jit
+        def diff(vs):
+            full = m.apply(vs, att, amask, seqs)
+            enc = m.apply(vs, att, amask, method="encode")
+            cache = m.apply(vs, enc, method="init_cache")
+            lps = []
+            for t in range(4):
+                lp, cache = m.apply(vs, seqs[:, t], cache, t, enc, method="decode_step")
+                lps.append(lp)
+            return jnp.max(jnp.abs(full[:, :4] - jnp.stack(lps, 1)))
+
+        assert float(diff(vs)) < 1e-5
+
+    def test_kv_shared_beam_decode(self, batch):
+        """Beam search (ancestry mode) over the deduplicated kv cache."""
+        att, amask, fc, boxes, seqs = batch
+        m = tiny_transformer(share_att_encoder="kv", share_att_decoder="kv")
+        vs = _init(m, att, amask, seqs)
+        enc = m.apply(vs, att, amask, method="encode")
+        seq, lp = jax.jit(lambda: generate(m, vs, enc, {"beam_size": 3}))()
+        assert seq.shape == (2, 3, T - 1)
+        assert not (np.asarray(seq[0, 0]) == np.asarray(seq[0, 1])).all()
+
     def test_layer_sharing_param_count(self, batch):
         att, amask, fc, boxes, seqs = batch
         full = tiny_transformer()
