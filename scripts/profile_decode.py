@@ -11,14 +11,10 @@ time by op name prefix. Prints a sorted table + one JSON line.
 from __future__ import annotations
 
 import argparse
-import glob
-import gzip
 import json
-import os
 import sys
 import tempfile
 import time
-from collections import defaultdict
 from pathlib import Path
 
 sys.path.insert(0, str(Path(__file__).resolve().parent.parent))
@@ -75,28 +71,9 @@ def main() -> None:
     wall = time.perf_counter() - t0
     jax.profiler.stop_trace()
 
-    # aggregate device events from the trace.json.gz
-    traces = glob.glob(os.path.join(trace_dir, "**", "*.trace.json.gz"), recursive=True)
-    agg = defaultdict(float)
-    total = 0.0
-    for tr in traces:
-        with gzip.open(tr, "rt") as f:
-            data = json.load(f)
-        # device lanes only (TensorCore); host threads excluded
-        dev_pids = set()
-        for ev in data.get("traceEvents", []):
-            if ev.get("ph") == "M" and ev.get("name") == "process_name":
-                nm = str(ev.get("args", {}).get("name", ""))
-                if "TPU" in nm or "Device" in nm or "/device" in nm.lower():
-                    dev_pids.add(ev.get("pid"))
-        for ev in data.get("traceEvents", []):
-            if ev.get("ph") == "X" and ev.get("pid") in dev_pids:
-                name = ev.get("name", "?")
-                dur = float(ev.get("dur", 0.0)) / 1e6  # us -> s
-                # collapse fusion numbering: "fusion.123" -> by leading op kind
-                base = name.split(".")[0]
-                agg[base] += dur
-                total += dur
+    from sparse_caption_tpu.utils.traceagg import aggregate_device_ops
+
+    agg, total = aggregate_device_ops(trace_dir)
     rows = sorted(agg.items(), key=lambda kv: -kv[1])[: args.top]
     print(f"wall {wall:.3f}s for {args.iters} iters (batch {b}); "
           f"device total {total:.3f}s", file=sys.stderr)
