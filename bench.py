@@ -173,12 +173,13 @@ def _make_train_pieces(jax, jnp, prune: bool):
     return model, opt_w, opt_m, optax
 
 
-def bench_xe_step(jax, jnp, b: int = 15, bf16_compute: bool = False):
-    """Supermask XE train step at b images x 5 captions (reference batch 15,
-    utils/training.py:396-415; larger b quantifies the latency-vs-MFU
-    tradeoff — the chip is mostly idle at the reference batch).
-    bf16_compute mirrors --train_precision bf16 (differentiable cast of
-    params+activations; master params stay f32)."""
+def build_xe_step(jax, jnp, b: int = 15, bf16_compute: bool = False):
+    """Construct the jitted supermask XE step + initial state.
+
+    Shared by ``bench_xe_step`` and ``scripts/profile_xe.py`` so the
+    profile explains the bench's own numbers (one construction, not two
+    drifting copies). bf16_compute mirrors --train_precision bf16
+    (differentiable cast of params+activations; master params stay f32)."""
     from sparse_caption_tpu.engine import losses as losses_mod
 
     model, opt_w, opt_m, optax = _make_train_pieces(jax, jnp, prune=True)
@@ -227,6 +228,15 @@ def bench_xe_step(jax, jnp, b: int = 15, bf16_compute: bool = False):
         return {"params": _o.apply_updates(state["params"], uw), "masks": _o.apply_updates(state["masks"], um),
                 "ow": ow, "om": om, "step": state["step"] + 1}, loss
 
+    return xe_step, state
+
+
+def bench_xe_step(jax, jnp, b: int = 15, bf16_compute: bool = False):
+    """Supermask XE train step at b images x 5 captions (reference batch 15,
+    utils/training.py:396-415; larger b quantifies the latency-vs-MFU
+    tradeoff — the chip is mostly idle at the reference batch; batch
+    sweep r3: 256 is the throughput knee, 512 regresses)."""
+    xe_step, state = build_xe_step(jax, jnp, b, bf16_compute)
     t0 = time.perf_counter()
     state, loss = xe_step(state)
     np.asarray(loss)

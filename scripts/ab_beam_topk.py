@@ -77,8 +77,10 @@ def main() -> None:
         return decode
 
     results = {}
+    modes = args.modes.split(",")
+    baseline_mode = modes[0]  # sequences are compared against the FIRST mode
     ref_seq = None
-    for mode in args.modes.split(","):
+    for mode in modes:
         decode = make_decode(mode)
         t0 = time.perf_counter()
         seq = np.asarray(decode(variables, att, amask, boxes))
@@ -96,10 +98,11 @@ def main() -> None:
                 np.asarray(out[:, 0, 0])
             best = min(best, time.perf_counter() - t0)
         results[mode] = {"captions_per_sec": round(b * args.iters / best, 1),
-                         "top1_seq_match_vs_exact": round(match, 4)}
+                         f"top1_seq_match_vs_{baseline_mode}": round(match, 4)}
         print(f"{mode}: {results[mode]}", file=sys.stderr, flush=True)
 
-    print(json.dumps({"batch": b, "beam": BEAM, "results": results}))
+    print(json.dumps({"batch": b, "beam": BEAM, "baseline_mode": baseline_mode,
+                      "results": results}))
 
 
 if __name__ == "__main__":

@@ -27,6 +27,9 @@ and benches one SCST step on the 95%-sparse model.
 
 Usage:
     python scripts/check_supermask_dynamics.py [--steps 1500] [--out FILE]
+    python scripts/check_supermask_dynamics.py --model up_down  # paper's
+        second family: UD LSTM rnn-1000 (reference commands_pruning.sh UD
+        supermask runs)
 
 Prints one JSON line with the curves + verdict; optionally dumps to FILE.
 """
@@ -89,7 +92,15 @@ def main() -> None:
                     help="override the computed max(5,1.5/(1-s)); the reference's ORT "
                          "supermask commands sweep explicit 40/80/120 "
                          "(commands_pruning.sh:259-268)")
+    ap.add_argument("--model", choices=("ort", "up_down"), default="ort",
+                    help="up_down = paper's second model family (LSTM rnn-1000, "
+                         "reference commands_pruning.sh UD supermask runs)")
     args = ap.parse_args()
+    if args.steps % args.chunk != 0:
+        # the anneal spans max_step = --steps; truncating to whole chunks
+        # would end the run short of the horizon and report a spurious
+        # pre-convergence sparsity
+        ap.error(f"--steps ({args.steps}) must be a multiple of --chunk ({args.chunk})")
 
     global VOCAB, D_MODEL, FF, LAYERS, HEADS, FEAT, TARGET
     TARGET = args.sparsity_target or TARGET
@@ -124,10 +135,34 @@ def main() -> None:
 
     weight = args.sparsity_weight or max(5.0, 1.5 / (1.0 - TARGET))  # default 30 at 0.95
     mask_cfg = MaskConfig(mask_type="supermask", mask_init_value=5.0)
-    model = RelationTransformer(
-        vocab_size=VOCAB, d_model=D_MODEL, dim_feedforward=FF, num_layers=LAYERS,
-        num_heads=HEADS, att_feat_size=FEAT, max_seq_length=MAX_LEN + 1, mask_cfg=mask_cfg,
-    )
+    is_ud = args.model == "up_down"
+    if is_ud:
+        from sparse_caption_tpu.models.up_down import UpDownModel
+
+        # paper UD config (reference commands_pruning.sh UD runs):
+        # rnn/input-encoding 1000, att_hid 512. --d_model overrides the rnn
+        # width for cheap CPU smoke runs.
+        rnn = D_MODEL if args.d_model else 1000
+        att_hid = max(8, rnn // 2) if args.d_model else 512
+
+        def build_model(mc):
+            return UpDownModel(vocab_size=VOCAB, rnn_size=rnn, input_encoding_size=rnn,
+                               att_hid_size=att_hid, fc_feat_size=FEAT, att_feat_size=FEAT,
+                               max_seq_length=MAX_LEN + 1, mask_cfg=mc)
+
+        def extra_kwargs(att, boxes):
+            return {"fc_feats": att.mean(axis=1)}
+    else:
+        def build_model(mc):
+            return RelationTransformer(
+                vocab_size=VOCAB, d_model=D_MODEL, dim_feedforward=FF, num_layers=LAYERS,
+                num_heads=HEADS, att_feat_size=FEAT, max_seq_length=MAX_LEN + 1, mask_cfg=mc,
+            )
+
+        def extra_kwargs(att, boxes):
+            return {"boxes": boxes}
+
+    model = build_model(mask_cfg)
     cfg = Config(lr_scheduler="noam", optim="adam", d_model=D_MODEL, noamopt_warmup=10000,
                  grad_clip=0.1, learning_rate=5e-4, max_train_step=args.steps,
                  prune_supermask_lr=100.0, prune_mask_adam_eps=1e-2)
@@ -145,7 +180,8 @@ def main() -> None:
 
     variables = model.init(
         {"params": jax.random.PRNGKey(0), "mask": jax.random.PRNGKey(1)},
-        att_all[:2], jnp.ones((2, REGIONS), jnp.float32), seqs_all[:2, 0], boxes=boxes_all[:2])
+        att_all[:2], jnp.ones((2, REGIONS), jnp.float32), seqs_all[:2, 0],
+        **extra_kwargs(att_all[:2], boxes_all[:2]))
     params, masks = variables["params"], variables["masks"]
     state = {"params": params, "masks": masks, "ow": opt_w.init(params), "om": opt_m.init(masks),
              "step": jnp.zeros((), jnp.int32)}
@@ -162,8 +198,9 @@ def main() -> None:
         segm = jnp.take(segm_all, idx, axis=0).reshape(BATCH_IMG * SPI, MAX_LEN + 1)
 
         def loss_fn(params, masks):
-            lp = model.apply({"params": params, "masks": masks}, att, amask, seqs, boxes=boxes,
-                             train=True, rngs={"dropout": k_drop, "mask": k_mask})
+            lp = model.apply({"params": params, "masks": masks}, att, amask, seqs,
+                             train=True, rngs={"dropout": k_drop, "mask": k_mask},
+                             **extra_kwargs(att, boxes))
             cap = losses_mod.language_model_loss(lp, seqs[:, 1:], segm[:, 1:])
             sp, sp_aux = compute_sparsity_loss(masks, TARGET, weight, step, max_step)
             return cap + sp, (cap, sp_aux)
@@ -210,8 +247,10 @@ def main() -> None:
     late = [c[1] for c in curves[-max(len(curves) // 4, 1):]]
     loss_decreasing = float(np.mean(late)) < float(np.mean(early))
 
+    desc = (f"UD rnn{rnn}/att{att_hid}" if is_ud
+            else f"ORT d{D_MODEL}/ff{FF}/{LAYERS}L")
     out = {
-        "config": f"ORT d{D_MODEL}/ff{FF}/{LAYERS}L supermask target {TARGET}, weight {weight:.0f}, "
+        "config": f"{desc} supermask target {TARGET}, weight {weight:.0f}, "
                   f"mask Adam lr 100 eps 1e-2, reversed-cosine anneal over {args.steps} steps",
         "steps": args.steps,
         "final_sparsity": round(final_sp, 5),
@@ -232,11 +271,7 @@ def main() -> None:
         from sparse_caption_tpu.decoding import generate
 
         bin_masks = binarize_masks(jax.device_get(state["masks"]))
-        frozen_cfg = MaskConfig(mask_type="mask_freeze")
-        fmodel = RelationTransformer(
-            vocab_size=VOCAB, d_model=D_MODEL, dim_feedforward=FF, num_layers=LAYERS,
-            num_heads=HEADS, att_feat_size=FEAT, max_seq_length=MAX_LEN + 1, mask_cfg=frozen_cfg,
-        )
+        fmodel = build_model(MaskConfig(mask_type="mask_freeze"))
         b, n_samples, t = 5, 15, MAX_LEN
         sample_opt = {"num_random_sample": n_samples, "beam_size": 0, "max_seq_length": t,
                       "temperature": 1.0, "decode_train": True}
@@ -248,8 +283,9 @@ def main() -> None:
         def scst_sample(fvars, step):
             rng = jax.random.fold_in(base_rng, step)
             kd, km, kdec = jax.random.split(rng, 3)
-            memory = fmodel.apply(fvars, att5, amask5, boxes5, train=True,
-                                  rngs={"dropout": kd, "mask": km}, method="encode")
+            memory = fmodel.apply(fvars, att5, amask5, train=True,
+                                  rngs={"dropout": kd, "mask": km}, method="encode",
+                                  **extra_kwargs(att5, boxes5))
             return generate(fmodel, fvars, memory, sample_opt, rng=kdec)[0]
 
         t0 = time.perf_counter()

@@ -43,49 +43,10 @@ def main() -> None:
     import bench as bench_mod
     from sparse_caption_tpu.utils.traceagg import aggregate_device_ops
 
-    # reuse the bench's exact step construction so the profile explains the
-    # bench's own xe_steps_per_sec_batch256 numbers
-    b = args.batch
-
-    from sparse_caption_tpu.engine import losses as losses_mod
-
-    model, opt_w, opt_m, optax = bench_mod._make_train_pieces(jax, jnp, prune=True)
-    rng = np.random.default_rng(1)
-    spi, t = 5, bench_mod.MAX_LEN + 1
-    att = jnp.asarray(rng.standard_normal((b, bench_mod.REGIONS, bench_mod.FEAT)), jnp.float32)
-    amask = jnp.ones((b, bench_mod.REGIONS), jnp.float32)
-    boxes = jnp.asarray(rng.uniform(0, 1, (b, bench_mod.REGIONS, 4)), jnp.float32)
-    seqs = jnp.asarray(rng.integers(4, bench_mod.VOCAB, (b * spi, t)), jnp.int32)
-    seq_masks = jnp.ones((b * spi, t), jnp.float32)
-    variables = model.init({"params": jax.random.PRNGKey(0), "mask": jax.random.PRNGKey(1)},
-                           att, amask, seqs, boxes=boxes)
-    params, masks = variables["params"], variables["masks"]
-    state = {"params": params, "masks": masks, "ow": opt_w.init(params), "om": opt_m.init(masks),
-             "step": jnp.zeros((), jnp.int32)}
-    base_rng = jax.random.PRNGKey(2)
-    bf16 = args.bf16
-
-    @jax.jit
-    def xe_step(state):
-        k_drop, k_mask = jax.random.split(jax.random.fold_in(base_rng, state["step"]))
-
-        def loss_fn(params, masks):
-            a, am = att, amask
-            if bf16:
-                params = jax.tree.map(
-                    lambda x: x.astype(jnp.bfloat16) if jnp.issubdtype(x.dtype, jnp.floating) else x,
-                    params)
-                a, am = att.astype(jnp.bfloat16), amask.astype(jnp.bfloat16)
-            lp = model.apply({"params": params, "masks": masks}, a, am, seqs, boxes=boxes,
-                             train=True, rngs={"dropout": k_drop, "mask": k_mask})
-            return losses_mod.language_model_loss(lp, seqs[:, 1:], seq_masks[:, 1:])
-
-        loss, (gw, gm) = jax.value_and_grad(loss_fn, argnums=(0, 1))(state["params"], state["masks"])
-        uw, ow = opt_w.update(gw, state["ow"], state["params"])
-        um, om = opt_m.update(gm, state["om"], state["masks"])
-        return {"params": optax.apply_updates(state["params"], uw),
-                "masks": optax.apply_updates(state["masks"], um),
-                "ow": ow, "om": om, "step": state["step"] + 1}, loss
+    # the bench's exact step construction (one source of truth), so the
+    # profile explains the bench's own xe_steps_per_sec_batch256 numbers
+    b, spi, bf16 = args.batch, 5, args.bf16
+    xe_step, state = bench_mod.build_xe_step(jax, jnp, b, bf16)
 
     state, loss = xe_step(state)
     np.asarray(loss)  # compile+warmup

@@ -898,9 +898,16 @@ class TrainingModule:
         bs = self.train_loader.batch_size
 
         def scst_flush():
-            """Apply any in-flight pipelined grad before eval/checkpoint."""
+            """Apply any in-flight pipelined grad before eval/checkpoint,
+            logging its loss/rewards (the flushed batch must not vanish
+            from the train curves)."""
             if scst_step is not None and hasattr(scst_step, "flush"):
-                self.state = scst_step.flush(self.state)[0]
+                self.state, floss, faux = scst_step.flush(self.state)
+                if faux is not None:
+                    self.tb.add_scalar("train/loss", float(floss), self.global_step)
+                    for k2, v in faux.items():
+                        if isinstance(v, (int, float)) or (hasattr(v, "ndim") and v.ndim == 0):
+                            self.tb.add_scalar(f"train/{k2}", float(v), self.global_step)
 
         for epoch in range(config.max_epochs):
             sc_flag = 0 <= int(config.get("scst_start_epoch", -1)) <= epoch

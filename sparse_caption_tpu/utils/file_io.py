@@ -142,7 +142,8 @@ def get_file(
         logger.info("fetching `%s` -> `%s`", origin, fpath)
         src_path = origin[len("file://"):] if origin.startswith("file://") else origin
         is_local = "://" not in origin or origin.startswith("file://")
-        if is_local and os.path.exists(fpath) and os.path.samefile(src_path, fpath):
+        if (is_local and os.path.exists(fpath) and os.path.exists(src_path)
+                and os.path.samefile(src_path, fpath)):
             # origin IS the destination (e.g. a hash-mismatched archive the
             # user pointed at directly): never copy-onto-self, and never
             # delete the user's only copy in the cleanup path below.

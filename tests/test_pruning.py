@@ -231,3 +231,29 @@ def test_supermask_recipe_converges_at_intermediate_scale():
     # in control, not oscillating)
     sps = [c["sparsity"] for c in out["curve"]]
     assert all(b >= a - 1e-3 for a, b in zip(sps, sps[1:])), sps
+
+
+def test_supermask_recipe_converges_up_down():
+    """Same reference recipe on the paper's SECOND model family: the
+    Up-Down LSTM (masked LSTM cells + additive attention, reference
+    commands_pruning.sh UD supermask runs). rnn-64 intermediate scale on
+    CPU; the paper-scale rnn-1000 run is the TPU probe
+    (scripts/check_supermask_dynamics.py --model up_down, STATUS.md)."""
+    import json
+    import subprocess
+    import sys as _sys
+
+    r = subprocess.run(
+        [_sys.executable,
+         os.path.join(os.path.dirname(__file__), "..", "scripts", "check_supermask_dynamics.py"),
+         "--model", "up_down", "--platform", "cpu", "--d_model", "64",
+         "--vocab_size", "512", "--att_feat_size", "64",
+         "--steps", "800", "--chunk", "50", "--skip_scst"],
+        capture_output=True, text=True, timeout=1800,
+    )
+    assert r.returncode == 0, r.stderr[-3000:]
+    out = json.loads(r.stdout.strip().splitlines()[-1])
+    assert out["nnz_within_5pct"], out
+    assert out["loss_decreasing"], out
+    sps = [c["sparsity"] for c in out["curve"]]
+    assert all(b >= a - 1e-3 for a, b in zip(sps, sps[1:])), sps
