@@ -440,8 +440,14 @@ class TrainingModule:
         # replayed by one pass) and beam-search sampling (a surviving beam's
         # step-t activations were computed in its ancestor's row, under that
         # row's dropout draws).
+        # Teacher-forced replay is exact when every stochastic draw of the
+        # sampling decode can be reproduced: TimeDropout folds dropout keys
+        # by t, and masks are deterministic for every type EXCEPT train-mode
+        # supermask (fresh Bernoulli per forward, ops/masked.py:57-61) —
+        # so mask_freeze / magnitude / SNIP pruned models replay exactly
+        # (the paper's sparse-SCST stage, commands_pruning.sh:175-196).
         use_tf_replay = (
-            self.mask_cfg is None
+            (self.mask_cfg is None or not self.mask_cfg.is_supermask)
             and sample_mode != "beam_search"
             and getattr(model, "DECODE_DROPOUT_FOLDS_T", False)
         )
@@ -568,8 +574,10 @@ class TrainingModule:
         if not serial.use_tf_replay:
             raise ValueError(
                 "--scst_pipeline requires the teacher-forced-replay SCST path "
-                "(dense transformer-family model + --scst_sample random); the "
-                "scan-recompute path cannot tolerate policy lag")
+                "(transformer-family model with deterministic masks — dense or "
+                "frozen/magnitude-pruned, not train-mode supermask — and "
+                "--scst_sample random); the scan-recompute path cannot "
+                "tolerate policy lag")
         sample_fn, grad_fn, score_batch = serial.sample_fn, serial.grad_fn, serial.score_batch
         pending: Dict[str, Any] = {}
         # key-derivation counter: state.step LAGS the batch index here (the

@@ -331,3 +331,30 @@ def test_dense_two_phase_uses_tf_replay_and_equals_fused(fixture_dataset, tmp_pa
     np.testing.assert_allclose(aux_a["avg_reward"], aux_b["avg_reward"], atol=1e-6)
     for a, b in zip(jax.tree.leaves(state_a.params), jax.tree.leaves(state_b.params)):
         np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-5)
+
+
+def test_mask_freeze_two_phase_uses_tf_replay_and_equals_fused(fixture_dataset, tmp_path):
+    """Frozen-mask pruned models (the paper's sparse-SCST stage,
+    commands_pruning.sh:175-196) have DETERMINISTIC masks, so the
+    teacher-forced-replay grad path applies and reproduces the fused
+    captured-logprob estimator — which also makes --scst_pipeline legal
+    for sparse fine-tuning."""
+    import jax
+
+    module = _module(fixture_dataset, tmp_path / "mf_eq",
+                     extra=["--prune_type", "mask_freeze"])
+    two_phase = module.make_scst_step()
+    assert two_phase.use_tf_replay  # deterministic masks replay exactly
+    fused = module.make_scst_fused_step()
+    batch = next(iter(module.train_loader))
+    rng = jax.random.PRNGKey(23)
+    k_sample, _ = jax.random.split(rng)
+    state_a, loss_a, _ = two_phase(module.state, batch, rng)
+    state_b, loss_b, _ = fused(module.state, batch, k_sample)
+    np.testing.assert_allclose(float(loss_a), float(loss_b), atol=1e-5)
+    for a, b in zip(jax.tree.leaves(state_a.params), jax.tree.leaves(state_b.params)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-5)
+    # pipelining is now constructible for the frozen-mask model
+    module2 = _module(fixture_dataset, tmp_path / "mf_pipe",
+                      extra=["--prune_type", "mask_freeze"])
+    module2.make_scst_pipelined_step()
