@@ -160,7 +160,12 @@ def _make_train_pieces(jax, jnp, prune: bool):
     from sparse_caption_tpu.models.relation_transformer import RelationTransformer
     from sparse_caption_tpu.ops.masked import MaskConfig
 
-    mask_cfg = MaskConfig(mask_type="supermask", mask_init_value=5.0) if prune else None
+    if prune:
+        mask_type = prune if isinstance(prune, str) else "supermask"
+        mask_cfg = MaskConfig(mask_type=mask_type,
+                              mask_init_value=5.0 if mask_type == "supermask" else 1.0)
+    else:
+        mask_cfg = None
     model = RelationTransformer(
         vocab_size=VOCAB, d_model=D_MODEL, dim_feedforward=FF, num_layers=LAYERS,
         num_heads=HEADS, att_feat_size=FEAT, max_seq_length=MAX_LEN + 1, mask_cfg=mask_cfg,
@@ -252,23 +257,41 @@ def bench_xe_step(jax, jnp, b: int = 15, bf16_compute: bool = False):
     return n / best
 
 
-def bench_scst_step(jax, jnp, tmp_dir="/tmp/sc_bench"):
-    """Two-phase SCST step: device sample -> host CIDEr-D -> device update."""
+def bench_scst_step(jax, jnp, tmp_dir="/tmp/sc_bench", mask_type=None, sparsity=0.95):
+    """Two-phase SCST step: device sample -> host CIDEr-D -> device update.
+
+    mask_type="mask_freeze" benches the paper's SPARSE fine-tuning stage
+    (commands_pruning.sh:175-196): frozen binary masks at `sparsity` (a
+    random pattern — dense-math step time is pattern-independent), legal
+    for the teacher-forced-replay and pipelined paths because frozen masks
+    replay deterministically (engine/training.py use_tf_replay)."""
     from sparse_caption_tpu.decoding import generate
     from sparse_caption_tpu.engine import losses as losses_mod
     from sparse_caption_tpu.metrics.cider import build_df_pickle
     from sparse_caption_tpu.scst import CaptionScorer
     from sparse_caption_tpu.scst import native as native_scst
 
-    model, opt_w, opt_m, optax = _make_train_pieces(jax, jnp, prune=False)
+    model, opt_w, opt_m, optax = _make_train_pieces(jax, jnp, prune=mask_type or False)
     b, n_samples, t = 5, 15, MAX_LEN
     rng = np.random.default_rng(2)
     att = jnp.asarray(rng.standard_normal((b, REGIONS, FEAT)), jnp.float32)
     amask = jnp.ones((b, REGIONS), jnp.float32)
     boxes = jnp.asarray(rng.uniform(0, 1, (b, REGIONS, 4)), jnp.float32)
     seqs0 = jnp.asarray(rng.integers(4, VOCAB, (b, t + 1)), jnp.int32)
-    variables = model.init({"params": jax.random.PRNGKey(3)}, att, amask, seqs0, boxes=boxes)
+    variables = model.init({"params": jax.random.PRNGKey(3), "mask": jax.random.PRNGKey(5)},
+                           att, amask, seqs0, boxes=boxes)
     params = variables["params"]
+    if mask_type:
+        mrng = np.random.default_rng(7)
+        masks = jax.tree.map(
+            lambda m: jnp.asarray(mrng.random(m.shape) >= sparsity, jnp.float32),
+            variables["masks"])
+
+        def mk_v(params):
+            return {"params": params, "masks": masks}
+    else:
+        def mk_v(params):
+            return {"params": params}
     state = {"params": params, "ow": opt_w.init(params), "step": jnp.zeros((), jnp.int32)}
     base_rng = jax.random.PRNGKey(4)
 
@@ -290,7 +313,7 @@ def bench_scst_step(jax, jnp, tmp_dir="/tmp/sc_bench"):
                   "temperature": 1.0, "decode_train": True}
 
     def train_sample(params, rng, differentiable):
-        v = {"params": params}
+        v = mk_v(params)
         kd, km, kdec = jax.random.split(rng, 3)
         memory = model.apply(v, att, amask, boxes, train=True, rngs={"dropout": kd, "mask": km},
                              method="encode")
@@ -314,7 +337,7 @@ def bench_scst_step(jax, jnp, tmp_dir="/tmp/sc_bench"):
         def loss_fn(params):
             # teacher-forced replay (engine/training.py make_scst_step): one
             # parallel fwd reproduces the whole sampling decode's logprobs
-            v = {"params": params}
+            v = mk_v(params)
             kd, km, kdec = jax.random.split(rng, 3)
             memory = model.apply(v, att, amask, boxes, train=True,
                                  rngs={"dropout": kd, "mask": km}, method="encode")
@@ -696,6 +719,9 @@ def main() -> None:
     xe_sps = bench_xe_step(jax, jnp)
     scst = guarded("scst", bench_scst_step, jax, jnp)
     scst_sps, scst_pipe_sps = scst if scst else (None, None)
+    # the paper's sparse fine-tuning stage: frozen 95%-sparse masks
+    scst_sparse = guarded("scst_sparse", bench_scst_step, jax, jnp, "/tmp/sc_bench", "mask_freeze")
+    scst_sparse_sps, scst_sparse_pipe_sps = scst_sparse if scst_sparse else (None, None)
     scst_beam_sps = guarded("scst_beam", bench_scst_beam_step, jax, jnp)
     xe_b256 = guarded("xe_b256", bench_xe_step, jax, jnp, 256)
     # --train_precision bf16 is neutral at the reference batch (latency
@@ -724,6 +750,9 @@ def main() -> None:
         "xe_images_per_sec": round(xe_sps * 15, 1),
         "scst_steps_per_sec": round(scst_sps, 3) if scst_sps else None,
         "scst_pipelined_steps_per_sec": round(scst_pipe_sps, 3) if scst_pipe_sps else None,
+        "scst_sparse_steps_per_sec": round(scst_sparse_sps, 3) if scst_sparse_sps else None,
+        "scst_sparse_pipelined_steps_per_sec":
+            round(scst_sparse_pipe_sps, 3) if scst_sparse_pipe_sps else None,
         "scst_beam_steps_per_sec": round(scst_beam_sps, 3) if scst_beam_sps else None,
         "xe_steps_per_sec_batch256": round(xe_b256, 3) if xe_b256 else None,
         "xe_steps_per_sec_batch256_bf16": round(xe_b256_bf16, 3) if xe_b256_bf16 else None,
