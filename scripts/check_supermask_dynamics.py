@@ -95,6 +95,16 @@ def main() -> None:
     ap.add_argument("--model", choices=("ort", "up_down"), default="ort",
                     help="up_down = paper's second model family (LSTM rnn-1000, "
                          "reference commands_pruning.sh UD supermask runs)")
+    ap.add_argument("--prune_type", default="supermask",
+                    choices=("supermask", "mag_grad_blind", "mag_grad_uniform"),
+                    help="mag_grad_* = gradual Zhu&Gupta magnitude pruning (the "
+                         "reference's best-scoring method at 0.95, README.md:89): "
+                         "plain XE chunks + magnitude mask updates on the "
+                         "cubic schedule (engine/prune_training.py pre_log_hook)")
+    ap.add_argument("--gradual_on_device", action="store_true",
+                    help="quantile thresholds via the jitted device path "
+                         "(update_masks_once_device) — ms/update instead of the "
+                         "90-470 s host param fetch through a tunneled TPU")
     args = ap.parse_args()
     if args.steps % args.chunk != 0:
         # the anneal spans max_step = --steps; truncating to whole chunks
@@ -130,11 +140,15 @@ def main() -> None:
     from sparse_caption_tpu.pruning.engine import (
         binarize_masks,
         compute_sparsity_loss,
+        gradual_sparsity_target,
         mask_sparsity,
+        update_masks_once,
     )
 
     weight = args.sparsity_weight or max(5.0, 1.5 / (1.0 - TARGET))  # default 30 at 0.95
-    mask_cfg = MaskConfig(mask_type="supermask", mask_init_value=5.0)
+    gradual = args.prune_type != "supermask"
+    mask_cfg = (MaskConfig(mask_type=args.prune_type) if gradual
+                else MaskConfig(mask_type="supermask", mask_init_value=5.0))
     is_ud = args.model == "up_down"
     if is_ud:
         from sparse_caption_tpu.models.up_down import UpDownModel
@@ -202,8 +216,23 @@ def main() -> None:
                              train=True, rngs={"dropout": k_drop, "mask": k_mask},
                              **extra_kwargs(att, boxes))
             cap = losses_mod.language_model_loss(lp, seqs[:, 1:], segm[:, 1:])
+            if gradual:
+                return cap, (cap, None)
             sp, sp_aux = compute_sparsity_loss(masks, TARGET, weight, step, max_step)
             return cap + sp, (cap, sp_aux)
+
+        if gradual:
+            # plain XE: masks are 0/1 constants updated on the host between
+            # chunks by the Zhu&Gupta schedule; only weights train
+            (loss, (cap, _)), gw = jax.value_and_grad(loss_fn, has_aux=True)(
+                state["params"], state["masks"])
+            uw, ow = opt_w.update(gw, state["ow"], state["params"])
+            leaves = jax.tree.leaves(state["masks"])
+            sp_now = 1.0 - sum(m.sum() for m in leaves) / sum(m.size for m in leaves)
+            new = {"params": optax.apply_updates(state["params"], uw),
+                   "masks": state["masks"], "ow": ow, "om": state["om"],
+                   "step": step + 1}
+            return new, (cap, sp_now, jnp.zeros(()))
 
         (loss, (cap, sp_aux)), (gw, gm) = jax.value_and_grad(
             loss_fn, argnums=(0, 1), has_aux=True)(state["params"], state["masks"])
@@ -218,6 +247,38 @@ def main() -> None:
     def run_chunk(state):
         return jax.lax.scan(one_step, state, None, length=args.chunk)
 
+    # gradual schedule (mirrors engine/prune_training.py pre_log_hook):
+    # memorize for the first 10%, prune every chunk until the half-horizon,
+    # stabilize for the rest
+    g_start = max(args.steps // 10, args.chunk)
+    # updates fire between chunks, so the start step must be chunk-aligned
+    # or the schedule's (t - t0) % freq == 0 gate never triggers
+    g_start = ((g_start + args.chunk - 1) // args.chunk) * args.chunk
+    g_n = max(int((0.5 * args.steps - g_start) / args.chunk), 1)
+
+    if args.gradual_on_device:
+        import functools
+
+        from sparse_caption_tpu.pruning.engine import update_masks_once_device
+
+        _dev_update = jax.jit(functools.partial(
+            update_masks_once_device, mask_type=args.prune_type))
+
+    def gradual_update(state, cur_step):
+        st = gradual_sparsity_target(TARGET, cur_step, g_start, g_n,
+                                     prune_frequency=args.chunk)
+        if st is None:
+            return state
+        if args.gradual_on_device:
+            state["masks"] = _dev_update(state["params"], state["masks"],
+                                         sparsity_target=st)
+            return state
+        new_masks = update_masks_once(jax.device_get(state["params"]),
+                                      jax.device_get(state["masks"]),
+                                      args.prune_type, st)
+        state["masks"] = new_masks
+        return state
+
     curves = []
     t0 = time.perf_counter()
     state, (caps, sps, anns) = run_chunk(state)
@@ -226,11 +287,15 @@ def main() -> None:
     print(f"chunk compile+first: {compile_s:.1f}s", file=sys.stderr, flush=True)
     curves.append((args.chunk, float(np.asarray(caps)[-1]), float(np.asarray(sps)[-1]),
                    float(np.asarray(anns)[-1])))
+    if gradual:
+        state = gradual_update(state, args.chunk)
 
     n_chunks = args.steps // args.chunk
     t0 = time.perf_counter()
     for c in range(1, n_chunks):
         state, (caps, sps, anns) = run_chunk(state)
+        if gradual:
+            state = gradual_update(state, (c + 1) * args.chunk)
         if (c + 1) % 4 == 0 or c == n_chunks - 1:
             curves.append(((c + 1) * args.chunk, float(np.asarray(caps)[-1]),
                            float(np.asarray(sps)[-1]), float(np.asarray(anns)[-1])))
@@ -240,7 +305,7 @@ def main() -> None:
     train_s = time.perf_counter() - t0
 
     final_sp, final_nnz, _ = mask_sparsity(
-        jax.device_get(state["masks"]), "supermask")
+        jax.device_get(state["masks"]), args.prune_type)
     final_sp = float(final_sp)
     nnz_rel_err = abs((1 - final_sp) - (1 - TARGET)) / (1 - TARGET)
     early = [c[1] for c in curves[: max(len(curves) // 4, 1)]]
@@ -249,9 +314,13 @@ def main() -> None:
 
     desc = (f"UD rnn{rnn}/att{att_hid}" if is_ud
             else f"ORT d{D_MODEL}/ff{FF}/{LAYERS}L")
+    recipe = (f"gradual {args.prune_type} target {TARGET}, Zhu&Gupta cubic from step "
+              f"{g_start} to {g_start + g_n * args.chunk} every {args.chunk} steps"
+              if gradual else
+              f"supermask target {TARGET}, weight {weight:.0f}, "
+              f"mask Adam lr 100 eps 1e-2, reversed-cosine anneal")
     out = {
-        "config": f"{desc} supermask target {TARGET}, weight {weight:.0f}, "
-                  f"mask Adam lr 100 eps 1e-2, reversed-cosine anneal over {args.steps} steps",
+        "config": f"{desc} {recipe} over {args.steps} steps",
         "steps": args.steps,
         "final_sparsity": round(final_sp, 5),
         "nnz_rel_err": round(nnz_rel_err, 4),
@@ -270,7 +339,10 @@ def main() -> None:
         # frozen): the paper's sparse fine-tuning stage
         from sparse_caption_tpu.decoding import generate
 
-        bin_masks = binarize_masks(jax.device_get(state["masks"]))
+        # gradual masks are already 0/1; supermask logits need the
+        # round(sigmoid(.)) binarization
+        bin_masks = (jax.device_get(state["masks"]) if gradual
+                     else binarize_masks(jax.device_get(state["masks"])))
         fmodel = build_model(MaskConfig(mask_type="mask_freeze"))
         b, n_samples, t = 5, 15, MAX_LEN
         sample_opt = {"num_random_sample": n_samples, "beam_size": 0, "max_seq_length": t,

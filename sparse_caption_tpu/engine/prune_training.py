@@ -47,6 +47,7 @@ class PruneTrainingModule(TrainingModule):
         self.prune_type = self.mask_cfg.mask_type
         self.sparsity_target = float(config.get("prune_sparsity_target", 0.8))
         self.freeze_scope = [s for s in str(config.get("prune_mask_freeze_scope", "")).split(",") if s]
+        self._device_mask_update = None  # lazily-jitted --prune_gradual_on_device path
 
     # ----------------------------------------------------------------- hooks
     def post_restore_hook(self) -> None:
@@ -110,9 +111,24 @@ class PruneTrainingModule(TrainingModule):
             self.sparsity_target, self.global_step, start_step, n, prune_frequency=freq
         )
         if st is not None:
-            new_masks = prune_engine.update_masks_once(
-                self.state.params, self.state.masks, self.prune_type, st, self.freeze_scope
-            )
+            if self.config.get("prune_gradual_on_device", False):
+                # TPU-native path: quantile thresholds computed on-device
+                # (one jitted call, reused across the schedule) — no
+                # params round trip to the host per update
+                if self._device_mask_update is None:
+                    import functools
+
+                    import jax
+
+                    self._device_mask_update = jax.jit(functools.partial(
+                        prune_engine.update_masks_once_device,
+                        mask_type=self.prune_type, freeze_scope=self.freeze_scope))
+                new_masks = self._device_mask_update(
+                    self.state.params, self.state.masks, sparsity_target=st)
+            else:
+                new_masks = prune_engine.update_masks_once(
+                    self.state.params, self.state.masks, self.prune_type, st, self.freeze_scope
+                )
             self.state = self.state.replace(masks=new_masks)
             logger.info("gradual prune @ step %d -> %.4f", self.global_step, st)
 

@@ -123,6 +123,11 @@ def add_pruning_args(parser) -> None:
     parser.add_argument("--prune_supermask_lr", type=float, default=1e2)
     parser.add_argument("--prune_supermask_bypass_sigmoid_grad", action="store_true")
     parser.add_argument("--prune_gradual_frequency", type=int, default=1000)
+    parser.add_argument("--prune_gradual_on_device", action="store_true",
+                        help="compute gradual magnitude-prune thresholds on-device "
+                             "(jnp.quantile in one jitted call) instead of the host "
+                             "argsort — avoids fetching the full parameter set every "
+                             "update (~90 s/update at paper scale through a tunneled TPU)")
 
 
 def parse_opt(arguments=None, include_pruning: bool = False) -> Namespace:

@@ -257,3 +257,96 @@ def test_supermask_recipe_converges_up_down():
     assert out["loss_decreasing"], out
     sps = [c["sparsity"] for c in out["curve"]]
     assert all(b >= a - 1e-3 for a, b in zip(sps, sps[1:])), sps
+
+
+def test_gradual_recipe_converges_at_intermediate_scale():
+    """The Zhu&Gupta gradual magnitude schedule (the reference's
+    best-scoring method at 0.95, README.md:89; engine mirror in
+    prune_training.pre_log_hook) reaches the target NNZ with the caption
+    loss still decreasing — same probe script, --prune_type mag_grad_*."""
+    import json
+    import subprocess
+    import sys as _sys
+
+    r = subprocess.run(
+        [_sys.executable,
+         os.path.join(os.path.dirname(__file__), "..", "scripts", "check_supermask_dynamics.py"),
+         "--prune_type", "mag_grad_uniform", "--platform", "cpu",
+         "--d_model", "64", "--dim_feedforward", "256", "--num_layers", "1",
+         "--num_heads", "2", "--vocab_size", "512", "--att_feat_size", "64",
+         "--steps", "600", "--chunk", "50", "--skip_scst"],
+        capture_output=True, text=True, timeout=1800,
+    )
+    assert r.returncode == 0, r.stderr[-3000:]
+    out = json.loads(r.stdout.strip().splitlines()[-1])
+    assert out["nnz_within_5pct"], out
+    assert out["loss_decreasing"], out
+    # the schedule is monotone: sparsity never decreases between chunks
+    sps = [c["sparsity"] for c in out["curve"]]
+    assert all(b >= a - 1e-6 for a, b in zip(sps, sps[1:])), sps
+
+
+def test_device_mask_update_matches_host():
+    """update_masks_once_device (jnp.quantile thresholds, jit-compatible —
+    the --prune_gradual_on_device path) reproduces the host argsort
+    bottom-k for every magnitude family up to interpolation rounding
+    (+-2 elements per pool)."""
+    import functools
+
+    import jax
+    import jax.numpy as jnp
+
+    from sparse_caption_tpu.pruning.engine import (
+        update_masks_once,
+        update_masks_once_device,
+    )
+
+    rng = np.random.default_rng(11)
+    params = {
+        "enc": {"w_1": {"kernel": jnp.asarray(rng.standard_normal((64, 96)), jnp.float32)}},
+        "dec": {"lut": {"embedding": jnp.asarray(rng.standard_normal((50, 32)), jnp.float32)}},
+    }
+    masks = {
+        "enc": {"w_1": {"mask": jnp.ones((64, 96), jnp.float32)}},
+        "dec": {"lut": {"mask": jnp.ones((50, 32), jnp.float32)}},
+    }
+    for mt in ("mag_uniform", "mag_blind", "mag_dist",
+               "mag_grad_uniform", "mag_grad_blind"):
+        for st in (0.5, 0.95):
+            host = update_masks_once(params, masks, mt, st)
+            dev = jax.jit(functools.partial(update_masks_once_device, mask_type=mt))(
+                params, masks, sparsity_target=st)
+            h = np.concatenate([np.asarray(x).ravel() for x in jax.tree.leaves(host)])
+            d = np.concatenate([np.asarray(x).ravel() for x in jax.tree.leaves(dev)])
+            ndiff = int(np.sum(h != d))
+            assert ndiff <= 4, (mt, st, ndiff)  # quantile interpolation rounding
+            # and the jitted instance is reusable at a different traced target
+        dev2 = jax.jit(functools.partial(update_masks_once_device, mask_type=mt))(
+            params, masks, sparsity_target=jnp.asarray(0.7, jnp.float32))
+        frac = 1.0 - float(np.mean(np.concatenate(
+            [np.asarray(x).ravel() for x in jax.tree.leaves(dev2)])))
+        assert abs(frac - 0.7) < 0.01, (mt, frac)
+
+
+def test_device_mask_update_respects_freeze_scope():
+    import functools
+
+    import jax
+    import jax.numpy as jnp
+
+    from sparse_caption_tpu.pruning.engine import update_masks_once_device
+
+    rng = np.random.default_rng(12)
+    params = {
+        "enc": {"w_1": {"kernel": jnp.asarray(rng.standard_normal((16, 16)), jnp.float32)}},
+        "dec": {"w_2": {"kernel": jnp.asarray(rng.standard_normal((16, 16)), jnp.float32)}},
+    }
+    masks = {
+        "enc": {"w_1": {"mask": jnp.ones((16, 16), jnp.float32)}},
+        "dec": {"w_2": {"mask": jnp.ones((16, 16), jnp.float32)}},
+    }
+    out = jax.jit(functools.partial(
+        update_masks_once_device, mask_type="mag_grad_uniform",
+        freeze_scope=["enc"]))(params, masks, sparsity_target=0.5)
+    np.testing.assert_array_equal(np.asarray(out["enc"]["w_1"]["mask"]), 1.0)
+    assert abs(float(np.mean(np.asarray(out["dec"]["w_2"]["mask"]))) - 0.5) < 0.02

@@ -334,3 +334,22 @@ def test_profile_dir_writes_trace(fixture_dataset, tmp_path):
     run_train(argv)
     traces = glob.glob(str(tmp_path / "prof" / "**" / "*.trace.json.gz"), recursive=True)
     assert traces, "no profiler trace written"
+
+
+@pytest.mark.parametrize("on_device", [False, True])
+def test_train_prune_gradual(on_device, fixture_dataset, tmp_path):
+    """Gradual Zhu&Gupta magnitude pruning through the train loop
+    (pre_log_hook schedule), with thresholds computed on host or
+    on-device (--prune_gradual_on_device, jnp.quantile path)."""
+    extra = ["--prune_type", "mag_grad_uniform", "--prune_sparsity_target", "0.5",
+             "--prune_gradual_frequency", "2", "--max_epochs", "8",
+             "--save_checkpoint_every", "50"]
+    if on_device:
+        extra.append("--prune_gradual_on_device")
+    argv = tiny_args(fixture_dataset, tmp_path / f"dev{int(on_device)}",
+                     "relation_transformer_prune", TINY_TRANSFORMER + extra)
+    module = run_train(argv, prune=True)
+    from sparse_caption_tpu.pruning.engine import mask_sparsity
+
+    s, _, _ = mask_sparsity(module.state.masks, "mag_grad_uniform")
+    assert abs(float(s) - 0.5) < 0.05
