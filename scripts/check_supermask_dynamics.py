@@ -105,6 +105,11 @@ def main() -> None:
                     help="quantile thresholds via the jitted device path "
                          "(update_masks_once_device) — ms/update instead of the "
                          "90-470 s host param fetch through a tunneled TPU")
+    ap.add_argument("--lottery", action="store_true",
+                    help="after the gradual phase: rewind weights to their INIT "
+                         "snapshot, freeze the final masks, retrain steps/2 more "
+                         "(the reference's lottery_* recipe — its best ORT number "
+                         "at 0.95, README.md:89). Requires --prune_type mag_grad_*")
     args = ap.parse_args()
     if args.steps % args.chunk != 0:
         # the anneal spans max_step = --steps; truncating to whole chunks
@@ -197,6 +202,9 @@ def main() -> None:
         att_all[:2], jnp.ones((2, REGIONS), jnp.float32), seqs_all[:2, 0],
         **extra_kwargs(att_all[:2], boxes_all[:2]))
     params, masks = variables["params"], variables["masks"]
+    if args.lottery:
+        assert gradual, "--lottery requires --prune_type mag_grad_*"
+        init_params = params  # lottery rewind snapshot (kept on device)
     state = {"params": params, "masks": masks, "ow": opt_w.init(params), "om": opt_m.init(masks),
              "step": jnp.zeros((), jnp.int32)}
     base_rng = jax.random.PRNGKey(2)
@@ -333,6 +341,36 @@ def main() -> None:
         "train_seconds": round(train_s, 1),
         "steps_per_sec": round((args.steps - args.chunk) / train_s, 2),
     }
+
+    if args.lottery:
+        # rewind weights to the init snapshot, keep the final masks frozen,
+        # retrain (reference lottery_* recipe: one-shot/gradual masks +
+        # weight reset — prune_training.post_restore_hook analogue)
+        re_steps = (args.steps // 2 // args.chunk) * args.chunk
+        state_l = {"params": init_params, "masks": state["masks"],
+                   "ow": opt_w.init(init_params), "om": state["om"],
+                   "step": jnp.zeros((), jnp.int32)}
+        lcurve = []
+        n_lc = re_steps // args.chunk
+        t0 = time.perf_counter()
+        for c in range(n_lc):
+            state_l, (caps, sps, anns) = run_chunk(state_l)
+            if (c + 1) % 4 == 0 or c == n_lc - 1:
+                lcurve.append(((c + 1) * args.chunk, float(np.asarray(caps)[-1]),
+                               float(np.asarray(sps)[-1])))
+                print(f"lottery retrain step {(c + 1) * args.chunk}: "
+                      f"loss {lcurve[-1][1]:.3f} sparsity {lcurve[-1][2]:.4f}",
+                      file=sys.stderr, flush=True)
+        l_sp, _, _ = mask_sparsity(jax.device_get(state_l["masks"]), args.prune_type)
+        out["lottery"] = {
+            "retrain_steps": re_steps,
+            "retrain_seconds": round(time.perf_counter() - t0, 1),
+            "final_caption_loss": lcurve[-1][1],
+            "sparsity": round(float(l_sp), 5),
+            "curve": [{"step": s, "caption_loss": round(c_, 4), "sparsity": round(sp, 5)}
+                      for s, c_, sp in lcurve],
+        }
+        state = state_l  # SCST tail (if any) benches the lottery result
 
     if not args.skip_scst:
         # mask_freeze SCST step on the 95%-sparse result (binarized masks,
