@@ -360,3 +360,71 @@ def test_acort_shared_forward_parity(ref_modules):
                      jnp.asarray(seqs, jnp.int32), boxes=jnp.asarray(boxes))
     d = _max_diff(ref_out.numpy(), out)
     assert d < 1e-4, f"ACORT-shared logprob mismatch {d}"
+
+
+def test_mask_update_oracle_vs_reference(ref_modules):
+    """Magnitude mask updates oracle-matched against the live reference
+    (PruningMixin.update_masks_once + compute_mask,
+    prune.py:272-283,297-373) on identical weights:
+
+    * class-blind: EXACT (identical 0/1 masks, every element)
+    * class-uniform: exact on every tensor except ORT's wg geometry
+      projection — the reference stores per-head wg vectors as separate
+      Linears and prunes each independently; we store the assembled
+      (dim_g, H) kernel and prune it as one class (NNZ equal to within
+      per-head rounding). Documented delta, STATUS.md.
+    * class-dist: NNZ identical; <0.5% boundary swaps from the same wg
+      class partitioning (per-head std vs assembled std) plus f32
+      last-ulp torch-vs-numpy differences in (w - mean)/std."""
+    import torch
+
+    from sparse_caption.models.relation_transformer_prune import (
+        RelationTransformerModel as RefORTPrune,
+    )
+
+    import jax
+    import jax.numpy as jnp
+    from flax import traverse_util
+
+    from sparse_caption_tpu.pruning.engine import update_masks_once
+    from sparse_caption_tpu.utils.convert_torch import convert_state_dict
+
+    RefConfig = ref_modules[0]
+    for mt, st in [("mag_blind", 0.7), ("mag_dist", 0.5), ("mag_uniform", 0.6)]:
+        cfg = _ref_config(RefConfig, prune_type=mt, prune_mask_freeze_scope="",
+                          prune_supermask_init=5.0)
+        torch.manual_seed(3)
+        ref = RefORTPrune(cfg)
+        assert ref.update_masks_once(st)
+        params, masks_ref = convert_state_dict(ref.state_dict(), "relation_transformer",
+                                               num_heads=4)
+        params = jax.tree.map(jnp.asarray, params)
+        masks_ref = {k: np.asarray(v) for k, v in traverse_util.flatten_dict(masks_ref).items()}
+        ones = traverse_util.unflatten_dict(
+            {k: jnp.ones(v.shape, jnp.float32) for k, v in masks_ref.items()})
+        ours = update_masks_once(params, ones, mt, st)
+        ours = {k: np.asarray(v) for k, v in traverse_util.flatten_dict(ours).items()}
+        assert set(ours) == set(masks_ref)
+        mismatch = 0
+        for k in sorted(ours):
+            if mt == "mag_uniform" and "wg" in k:
+                # per-head vs assembled class partitioning (see docstring)
+                ref_nnz, our_nnz = masks_ref[k].sum(), ours[k].sum()
+                assert abs(ref_nnz - our_nnz) <= masks_ref[k].shape[-1], k
+                continue
+            d = int((ours[k] != masks_ref[k]).sum())
+            if mt == "mag_dist":
+                mismatch += d  # budgeted below
+            else:
+                assert d == 0, (mt, k, d)
+        if mt == "mag_dist":
+            # the dist criterion normalizes per CLASS, and the reference's
+            # classes split ORT's wg geometry projection per head while we
+            # store the assembled kernel (one std) — plus f32 last-ulp
+            # differences between torch and numpy. Total NNZ is identical
+            # (fixed k); the disagreement is a handful of boundary swaps.
+            n_total = sum(v.size for v in masks_ref.values())
+            nnz_ref = sum(float(v.sum()) for v in masks_ref.values())
+            nnz_ours = sum(float(v.sum()) for v in ours.values())
+            assert nnz_ref == nnz_ours, (nnz_ref, nnz_ours)
+            assert mismatch / n_total < 0.005, (mt, mismatch, n_total)
