@@ -327,8 +327,7 @@ def bench_scst_step(jax, jnp, tmp_dir="/tmp/sc_bench", mask_type=None, sparsity=
         rng = jax.random.fold_in(base_rng, step)
         return {"sample": train_sample(params, rng, False)[0]}
 
-    @jax.jit
-    def grad_fn(state, sample_seq, rewards, step):
+    def _update_body(state, sample_seq, rewards, step):
         from sparse_caption_tpu.decoding.api import decode_train_keys
 
         rng = jax.random.fold_in(base_rng, step)  # same key as sample_fn
@@ -357,6 +356,31 @@ def bench_scst_step(jax, jnp, tmp_dir="/tmp/sc_bench", mask_type=None, sparsity=
         return {"params": _o.apply_updates(state["params"], uw), "ow": ow,
                 "step": state["step"] + 1}, loss
 
+    grad_fn = jax.jit(_update_body)
+
+    # ---- device-reward pieces (--scst_reward device): CIDEr-D in-jit
+    from sparse_caption_tpu.metrics.cider import CiderScorer
+    from sparse_caption_tpu.scst import device_reward as devr
+
+    tok2id = {"<pad>": 0, "<unk>": 1, "<bos>": 2, "<eos>": 3}
+    tok2id.update({f"w{i}": i for i in range(4, VOCAB)})
+    _cs = CiderScorer.from_pickle(df_path)
+    dev_table = devr.DfTable.build(_cs.df, _cs.ref_len, tok2id)
+    dev_fn = devr.make_cider_device_fn(dev_table)
+    tbl_dev = dev_table.device_arrays()
+    pack_dev = devr.ref_pack_device(
+        devr.build_ref_pack(gts, _cs.df, _cs.ref_len, tok2id, vocab_size=VOCAB))
+    dev_img_idx = jnp.repeat(jnp.arange(b), n_samples)
+
+    @jax.jit
+    def grad_fn_dev(state, sample_seq, step):
+        """REINFORCE grad with the reward computed on-device: the SCST loop
+        never touches the host (engine make_scst_step --scst_reward device)."""
+        flat = sample_seq.reshape(b * n_samples, t)
+        sc = dev_fn(flat, dev_img_idx, tbl_dev, pack_dev)
+        rewards = sc - devr.leave_one_out_baseline(sc, n_samples)
+        return _update_body(state, sample_seq, rewards, step)
+
     def score(sample_np):
         sample_dec = [[words(sample_np[i, j][sample_np[i, j] > 3]) for j in range(n_samples)]
                       for i in range(b)]
@@ -384,8 +408,13 @@ def bench_scst_step(jax, jnp, tmp_dir="/tmp/sc_bench", mask_type=None, sparsity=
     serial_sps = n / best
 
     # ---- pipelined variant (engine make_scst_pipelined_step semantics):
-    # dispatch batch N's sampling async, queue batch N-1's grad behind it,
-    # fetch N's tokens, score them on host while the grad executes.
+    # dispatch batch N's sampling async, hand its token fetch to a
+    # background thread (the ~33 ms relay RTT is GIL-released network
+    # wait), then score batch N-1's joined fetch and queue its grad.
+    from concurrent.futures import ThreadPoolExecutor
+
+    fetch_pool = ThreadPoolExecutor(max_workers=2, thread_name_prefix="scst_fetch")
+
     def run_pipelined(state, n_steps, counter0):
         pending = None
         ctr = counter0
@@ -393,13 +422,14 @@ def bench_scst_step(jax, jnp, tmp_dir="/tmp/sc_bench", mask_type=None, sparsity=
             step_arr = np.asarray(ctr, np.int32)
             ctr += 1
             res = sample_fn(state["params"], step_arr)  # async dispatch
+            future = fetch_pool.submit(jax.device_get, res)  # background fetch
             if pending is not None:
-                state, _ = grad_fn(state, pending[0], pending[1], pending[2])  # queued
-            res_np = jax.device_get(res)  # blocks on sampling only
-            rewards = score(res_np["sample"])  # overlaps the queued grad
-            pending = (res["sample"], rewards, step_arr)
+                rewards = score(pending[3].result()["sample"])  # joins batch N-1
+                state, _ = grad_fn(state, pending[0], rewards, pending[2])  # queued
+            pending = (res["sample"], None, step_arr, future)
         if pending is not None:
-            state, loss = grad_fn(state, pending[0], pending[1], pending[2])
+            rewards = score(pending[3].result()["sample"])
+            state, loss = grad_fn(state, pending[0], rewards, pending[2])
             np.asarray(loss)
         return state, ctr
 
@@ -411,7 +441,27 @@ def bench_scst_step(jax, jnp, tmp_dir="/tmp/sc_bench", mask_type=None, sparsity=
         t0 = time.perf_counter()
         state, ctr = run_pipelined(state, n, ctr)
         best = min(best, time.perf_counter() - t0)
-    return serial_sps, n / best
+    pipe_sps = n / best
+
+    # ---- device-reward variant (--scst_reward device): rewards in-jit, the
+    # loop is pure async dispatch — zero host syncs until the final block
+    def run_device(state, n_steps):
+        loss = None
+        for _ in range(n_steps):
+            res = sample_fn(state["params"], state["step"])
+            state, loss = grad_fn_dev(state, res["sample"], state["step"])
+        np.asarray(loss)  # single sync at the end
+        return state
+
+    t0 = time.perf_counter()
+    state = run_device(state, 1)  # compile grad_fn_dev
+    _log(f"scst device-reward warmup+compile: {time.perf_counter() - t0:.1f}s")
+    best = float("inf")
+    for _trial in range(2):
+        t0 = time.perf_counter()
+        state = run_device(state, n)
+        best = min(best, time.perf_counter() - t0)
+    return serial_sps, pipe_sps, n / best
 
 
 def bench_scst_beam_step(jax, jnp, tmp_dir="/tmp/sc_bench"):
@@ -718,10 +768,11 @@ def main() -> None:
     captions_per_sec = bench_decode(jax, jnp, model, variables, att_b, amask_b, boxes)
     xe_sps = bench_xe_step(jax, jnp)
     scst = guarded("scst", bench_scst_step, jax, jnp)
-    scst_sps, scst_pipe_sps = scst if scst else (None, None)
+    scst_sps, scst_pipe_sps, scst_dev_sps = scst if scst else (None, None, None)
     # the paper's sparse fine-tuning stage: frozen 95%-sparse masks
     scst_sparse = guarded("scst_sparse", bench_scst_step, jax, jnp, "/tmp/sc_bench", "mask_freeze")
-    scst_sparse_sps, scst_sparse_pipe_sps = scst_sparse if scst_sparse else (None, None)
+    scst_sparse_sps, scst_sparse_pipe_sps, scst_sparse_dev_sps = (
+        scst_sparse if scst_sparse else (None, None, None))
     scst_beam_sps = guarded("scst_beam", bench_scst_beam_step, jax, jnp)
     xe_b256 = guarded("xe_b256", bench_xe_step, jax, jnp, 256)
     # --train_precision bf16 is neutral at the reference batch (latency
@@ -750,9 +801,12 @@ def main() -> None:
         "xe_images_per_sec": round(xe_sps * 15, 1),
         "scst_steps_per_sec": round(scst_sps, 3) if scst_sps else None,
         "scst_pipelined_steps_per_sec": round(scst_pipe_sps, 3) if scst_pipe_sps else None,
+        "scst_device_reward_steps_per_sec": round(scst_dev_sps, 3) if scst_dev_sps else None,
         "scst_sparse_steps_per_sec": round(scst_sparse_sps, 3) if scst_sparse_sps else None,
         "scst_sparse_pipelined_steps_per_sec":
             round(scst_sparse_pipe_sps, 3) if scst_sparse_pipe_sps else None,
+        "scst_sparse_device_reward_steps_per_sec":
+            round(scst_sparse_dev_sps, 3) if scst_sparse_dev_sps else None,
         "scst_beam_steps_per_sec": round(scst_beam_sps, 3) if scst_beam_sps else None,
         "xe_steps_per_sec_batch256": round(xe_b256, 3) if xe_b256 else None,
         "xe_steps_per_sec_batch256_bf16": round(xe_b256_bf16, 3) if xe_b256_bf16 else None,

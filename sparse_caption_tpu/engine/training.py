@@ -30,6 +30,7 @@ import functools
 import logging
 import os
 import time
+from concurrent.futures import ThreadPoolExecutor
 from typing import Any, Dict, Optional, Tuple
 
 import jax
@@ -166,8 +167,62 @@ class TrainingModule:
                 cider_weight=float(config.get("scst_cider_weight", 1.0)),
                 bleu_weight=config.get("scst_bleu_weight", [0.0] * 4),
             )
+            if config.get("scst_reward", "host") == "device":
+                self._init_device_reward(df_path)
         self.best_val_score = 0.0
         config.best_global_step = 0
+
+    # --------------------------------------------------- device SCST reward
+    def _init_device_reward(self, df_path: str) -> None:
+        """``--scst_reward device``: in-jit CIDEr-D (scst/device_reward.py).
+
+        The df pickle becomes a device hash table once; per batch only the
+        reference tf-idf pack is (host-)built. SCST steps then need no
+        device->host transfer at all — the whole loop is async dispatch.
+        """
+        from sparse_caption_tpu.metrics.cider import CiderScorer
+        from sparse_caption_tpu.scst import device_reward as devr
+        from sparse_caption_tpu.tokenizers.word import WordTokenizer
+
+        config = self.config
+        assert type(self.tokenizer) is WordTokenizer, (
+            "--scst_reward device requires word-level tokenization (sampled ids "
+            "are words); radix/char/bpe captions score on decoded word strings "
+            "-> use --scst_reward host")
+        bleu_w = [float(x) for x in config.get("scst_bleu_weight", [0.0] * 4)]
+        assert float(config.get("scst_cider_weight", 1.0)) > 0 and max(bleu_w) == 0.0, (
+            "--scst_reward device implements the CIDEr-only reward (every "
+            "published reference SCST config, resources/commands_*.sh); "
+            "BLEU-weighted rewards need --scst_reward host")
+        scorer = CiderScorer.from_pickle(df_path)
+        tok2id = dict(self.tokenizer._token_to_id)
+        table = devr.DfTable.build(scorer.df, scorer.ref_len, tok2id)
+        self.scst_device = {
+            "table": table, "df": scorer.df, "tok2id": tok2id,
+            "tbl_dev": table.device_arrays(),
+            "fn": devr.make_cider_device_fn(
+                table, eos_id=self.tokenizer.eos_token_id,
+                pad_id=self.tokenizer.pad_token_id,
+                bos_id=self.tokenizer.bos_token_id),
+            "cider_weight": float(config.get("scst_cider_weight", 1.0)),
+        }
+        logger.info("device CIDEr-D reward: df table %d slots (probe depth %d)",
+                    table.size, table.probe)
+
+    def _scst_ref_pack(self, gts):
+        """Per-batch reference tf-idf pack as device arrays. L is bucketed
+        to multiples of 32 (an upper bound on gram count avoids a precook
+        pass) so jit retraces stay bounded across batches."""
+        from sparse_caption_tpu.scst import device_reward as devr
+
+        d = self.scst_device
+        r = max(len(x) for x in gts)
+        gram_ub = max(4 * len(s.split()) for refs in gts for s in refs)
+        l_max = ((max(gram_ub, 1) + 31) // 32) * 32
+        pack = devr.build_ref_pack(gts, d["df"], d["table"].ref_len, d["tok2id"],
+                                   vocab_size=len(self.tokenizer),
+                                   max_refs=r, max_grams=l_max)
+        return devr.ref_pack_device(pack)
 
     # -------------------------------------------------------------- state
     def _model_inputs(self, batch: Dict, with_seqs: bool = True) -> Dict[str, jnp.ndarray]:
@@ -452,18 +507,10 @@ class TrainingModule:
             and getattr(model, "DECODE_DROPOUT_FOLDS_T", False)
         )
 
-        @jax.jit
-        def grad_fn(state: TrainState, inputs, sample_seq, rewards, rng=None, step=None):
-            """Recompute the sampling decode differentiably, REINFORCE update.
-
-            ``step`` (a traced scalar) overrides the key-derivation step —
-            the pipelined step passes the step AT SAMPLING TIME so the
-            recompute folds the identical rng even though state.step has
-            since advanced."""
-            if rng is None:
-                # same derivation as sample_fn at the same (pre-update) step
-                # -> identical policy realization
-                rng = jax.random.fold_in(scst_base_rng, state.step if step is None else step)
+        def _reinforce_update(state: TrainState, inputs, sample_seq, rewards, rng):
+            """Shared grad body: recompute the sampling decode differentiably
+            (or teacher-forced replay), REINFORCE update. Traced inside both
+            the host-reward and device-reward jitted grad steps."""
             enc_kwargs = {k: v for k, v in inputs.items() if k != "seqs"}
             b, s, t = sample_seq.shape
             flat = jax.lax.stop_gradient(sample_seq).reshape(b * s, t)
@@ -499,6 +546,50 @@ class TrainingModule:
             return state.replace(params=params, masks=masks, opt_w=new_opt_w, opt_m=new_opt_m,
                                  step=state.step + 1), loss
 
+        @jax.jit
+        def grad_fn(state: TrainState, inputs, sample_seq, rewards, rng=None, step=None):
+            """Host-reward grad step.
+
+            ``step`` (a traced scalar) overrides the key-derivation step —
+            the pipelined step passes the step AT SAMPLING TIME so the
+            recompute folds the identical rng even though state.step has
+            since advanced."""
+            if rng is None:
+                # same derivation as sample_fn at the same (pre-update) step
+                # -> identical policy realization
+                rng = jax.random.fold_in(scst_base_rng, state.step if step is None else step)
+            return _reinforce_update(state, inputs, sample_seq, rewards, rng)
+
+        device_reward = (getattr(self, "scst_device", None)
+                         if config.get("scst_reward", "host") == "device" else None)
+        if device_reward is not None:
+            from sparse_caption_tpu.scst import device_reward as devr
+
+            score_dev = device_reward["fn"]
+            tbl_dev = device_reward["tbl_dev"]
+            cider_w = device_reward["cider_weight"]
+
+            @jax.jit
+            def grad_fn_dev(state: TrainState, inputs, sample_seq, greedy_seq, pack, step):
+                """Device-reward grad step: CIDEr-D computed in-jit from the
+                sampled ids — the SCST loop never touches the host."""
+                rng = jax.random.fold_in(scst_base_rng, step)
+                b, s, t = sample_seq.shape
+                flat = sample_seq.reshape(b * s, t)
+                img_idx = jnp.repeat(jnp.arange(b), s)
+                sc_s = score_dev(flat, img_idx, tbl_dev, pack) * cider_w
+                if baseline_mode == "greedy":
+                    sc_b = jnp.repeat(
+                        score_dev(greedy_seq.reshape(b, t), jnp.arange(b), tbl_dev, pack)
+                        * cider_w, s)
+                else:
+                    sc_b = devr.leave_one_out_baseline(sc_s, s)
+                rewards = jax.lax.stop_gradient(sc_s - sc_b)
+                state, loss = _reinforce_update(state, inputs, sample_seq, rewards, rng)
+                return state, loss, {"avg_reward": jnp.mean(rewards),
+                                     "avg_sample": jnp.mean(sc_s),
+                                     "avg_baseline": jnp.mean(sc_b)}
+
         def score_batch(res_np, gts):
             """Host reward pass: decode tokens + CIDEr-D/BLEU scoring."""
             sample_np = res_np["sample"]
@@ -519,6 +610,14 @@ class TrainingModule:
 
         def scst_step(state: TrainState, batch, rng=None):
             inputs = self._model_inputs(batch, with_seqs=False)
+            if device_reward is not None and rng is None:
+                # fully device-resident step: sampling dispatch -> in-jit
+                # reward + grad dispatch. Zero host syncs; the ref pack is
+                # host-precomputed numpy (overlaps the in-flight sampling).
+                res = sample_fn(self._variables(state), inputs, None, state.step)
+                pack = self._scst_ref_pack(batch["gts"])
+                return grad_fn_dev(state, inputs, res["sample"],
+                                   res.get("greedy"), pack, state.step)
             if rng is None:
                 k_sample = None
                 res = sample_fn(self._variables(state), inputs, None, state.step)
@@ -543,21 +642,28 @@ class TrainingModule:
 
     def make_scst_pipelined_step(self):
         """Software-pipelined SCST (``--scst_pipeline 1``): hides the host
-        reward pass behind device compute.
+        reward pass AND the device->host token fetch behind device compute.
 
         Per call (batch N):
 
         1. dispatch batch N's sampling decode (async, ~3 ms on tunneled
            backends) under the current state
-        2. queue batch N-1's REINFORCE grad step behind it (its rewards were
-           scored during the previous call)
-        3. fetch batch N's tokens (blocks only until the sampling finishes;
-           the queued grad keeps the device busy)
-        4. score batch N on host WHILE the device runs batch N-1's grad
+        2. hand batch N's token fetch to a background thread — the ~33 ms
+           relay round trip is network wait (GIL released), so it overlaps
+           everything the host does next
+        3. join batch N-1's fetch (started one call ago — usually already
+           complete), score it on host, and dispatch its REINFORCE grad
+           step behind batch N's sampling
 
-        The device therefore never idles during CIDEr-D scoring, which is
-        the serial two-phase step's dead time (~33 ms/step relay round trip
+        The device therefore never idles during CIDEr-D scoring, and the
+        host never sits in a synchronous ``device_get`` — the two dead
+        times of the serial two-phase step (~33 ms/step relay round trip
         + scorer time).
+
+        With ``--scst_reward device`` the serial step already runs with no
+        host participation at all (rewards in-jit), so pipelining is
+        redundant — this factory then returns the device serial step,
+        which also avoids the pipeline's policy-lag delta.
 
         Semantics delta vs the reference (utils/training.py:202-255),
         documented and measured (STATUS.md round 3): batch N samples under
@@ -571,6 +677,12 @@ class TrainingModule:
         from what was scored.
         """
         serial = self.make_scst_step()
+        if (getattr(self, "scst_device", None) is not None
+                and self.config.get("scst_reward", "host") == "device"):
+            logger.info("--scst_pipeline is redundant with --scst_reward device "
+                        "(rewards are in-jit; the serial step has no host dead "
+                        "time) — using the device serial step")
+            return serial
         if not serial.use_tf_replay:
             raise ValueError(
                 "--scst_pipeline requires the teacher-forced-replay SCST path "
@@ -586,6 +698,19 @@ class TrainingModule:
         # batches and stay one behind thereafter. A host counter keeps the
         # key schedule identical to the serial step's.
         counter: Dict[str, int] = {}
+        # two workers: at most two fetches are ever outstanding (batch N's
+        # is submitted before batch N-1's is joined), and both run
+        # concurrent with host scoring/dispatch, whose GIL the network
+        # wait releases
+        fetch_pool = ThreadPoolExecutor(max_workers=2, thread_name_prefix="scst_fetch")
+
+        def _complete(state: TrainState, p):
+            """Join batch N-1's background fetch, score it, dispatch its grad."""
+            res_np = p["future"].result()
+            rewards, aux = score_batch(res_np, p["gts"])
+            state, loss = grad_fn(state, p["inputs"], p["sample_seq"], rewards,
+                                  None, p["step"])
+            return state, loss, aux
 
         def scst_pipelined_step(state: TrainState, batch, rng=None):
             assert rng is None, "pipelined SCST derives keys from its batch counter"
@@ -597,18 +722,15 @@ class TrainingModule:
             sample_step = np.asarray(counter["v"], np.int32)
             counter["v"] += 1
             res = sample_fn(self._variables(state), inputs, None, sample_step)
+            future = fetch_pool.submit(jax.device_get, res)  # background fetch
             loss, aux = jnp.zeros(()), None
             if pending:
-                p = pending.copy()
-                state, loss = grad_fn(state, p["inputs"], p["sample_seq"], p["rewards"],
-                                      None, p["step"])
-                aux = p["aux"]
-            # fetch this batch's tokens; the queued grad keeps the device busy
-            res_np = jax.device_get(res)
-            rewards, aux_n = score_batch(res_np, batch["gts"])  # overlaps the grad
+                # score + grad batch N-1 while the device samples batch N and
+                # the fetch thread waits out batch N's relay round trip
+                state, loss, aux = _complete(state, pending.copy())
             pending.clear()
-            pending.update(inputs=inputs, sample_seq=res["sample"], rewards=rewards,
-                           step=sample_step, aux=aux_n)
+            pending.update(inputs=inputs, sample_seq=res["sample"], gts=batch["gts"],
+                           step=sample_step, future=future)
             return state, loss, aux
 
         def flush(state: TrainState):
@@ -617,9 +739,8 @@ class TrainingModule:
                 return state, None, None
             p = pending.copy()
             pending.clear()
-            state, loss = grad_fn(state, p["inputs"], p["sample_seq"], p["rewards"],
-                                  None, p["step"])
-            return state, loss, p["aux"]
+            state, loss, aux = _complete(state, p)
+            return state, loss, aux
 
         scst_pipelined_step.flush = flush
         return scst_pipelined_step
@@ -650,6 +771,9 @@ class TrainingModule:
                           "decode_train": True,
                           "differentiable": True}  # grads flow through the sampling decode
         greedy_opt = {"beam_size": 1, "max_seq_length": max_len}
+
+        device_reward = (getattr(self, "scst_device", None)
+                         if config.get("scst_reward", "host") == "device" else None)
 
         holder: Dict[str, Any] = {"gts": None}  # set per batch before the jit call
         tokenizer = self.tokenizer
@@ -687,8 +811,15 @@ class TrainingModule:
         fused_base_rng = jax.random.fold_in(
             jax.random.PRNGKey(int(self.config.get("seed", 8888)) + 1), 0x5C57)
 
+        if device_reward is not None:
+            from sparse_caption_tpu.scst import device_reward as devr
+
+            score_dev = device_reward["fn"]
+            tbl_dev = device_reward["tbl_dev"]
+            cider_w = device_reward["cider_weight"]
+
         @jax.jit
-        def fused(state: TrainState, inputs, rng=None):
+        def fused(state: TrainState, inputs, pack=None, rng=None):
             if rng is None:
                 rng = jax.random.fold_in(fused_base_rng, state.step)
             enc_kwargs = {k: v for k, v in inputs.items() if k != "seqs"}
@@ -711,7 +842,23 @@ class TrainingModule:
                     )
                 else:
                     greedy_ids = jnp.zeros((ids.shape[0], 1, ids.shape[2]), jnp.int32)
-                rewards = jax.lax.stop_gradient(rewards_op(ids, greedy_ids))
+                if device_reward is not None:
+                    # in-jit CIDEr-D: the fused step needs no host callback,
+                    # so it runs on backends without host send/recv support
+                    # (tunneled/relayed TPUs reject io_callback)
+                    bb, ss, tt = ids.shape
+                    flat_ids = ids.reshape(bb * ss, tt)
+                    img_idx = jnp.repeat(jnp.arange(bb), ss)
+                    sc_s = score_dev(flat_ids, img_idx, tbl_dev, pack) * cider_w
+                    if baseline_mode == "greedy":
+                        sc_b = jnp.repeat(
+                            score_dev(greedy_ids.reshape(bb, tt), jnp.arange(bb),
+                                      tbl_dev, pack) * cider_w, ss)
+                    else:
+                        sc_b = devr.leave_one_out_baseline(sc_s, ss)
+                    rewards = jax.lax.stop_gradient(sc_s - sc_b)
+                else:
+                    rewards = jax.lax.stop_gradient(rewards_op(ids, greedy_ids))
                 b, s, t = ids.shape
                 flat = ids.reshape(b * s, t)
                 mask = (flat != model.pad_id).astype(seq_lp.dtype)
@@ -732,7 +879,8 @@ class TrainingModule:
         def scst_fused_step(state: TrainState, batch, rng=None):
             holder["gts"] = batch["gts"]
             inputs = self._model_inputs(batch, with_seqs=False)
-            state, loss, avg_reward = fused(state, inputs, rng)
+            pack = self._scst_ref_pack(batch["gts"]) if device_reward is not None else None
+            state, loss, avg_reward = fused(state, inputs, pack, rng)
             return state, loss, {"avg_reward": float(avg_reward)}
 
         return scst_fused_step

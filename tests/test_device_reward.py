@@ -1,0 +1,210 @@
+"""Device-resident CIDEr-D reward (scst/device_reward.py).
+
+1. scorer parity: the jitted device scorer reproduces the host
+   ``CiderScorer`` (itself golden-matched to both reference vendored
+   scorers) on adversarial inputs — pad/bos noise inside sampled ids,
+   empty captions, repeated grams, OOV and literal-``<unk>`` reference
+   words — to f32 tolerance.
+2. engine parity: an SCST train step with ``--scst_reward device``
+   produces the same parameter update as the host-reward step.
+3. fused: with device rewards the single-jit fused step (no io_callback)
+   equals the two-phase device step.
+"""
+
+import os
+import sys
+
+import numpy as np
+import pytest
+
+sys.path.insert(0, os.path.join(os.path.dirname(__file__), "..", "scripts"))
+
+from sparse_caption_tpu.metrics.cider import CiderScorer, build_df_pickle
+from sparse_caption_tpu.scst import device_reward as devr
+
+
+def _host_decode(ids, vocab):
+    """Mirror tokenizers/word.py decode: stop at eos, skip pad/bos."""
+    words = []
+    for i in ids:
+        if i == 3:
+            break
+        if i in (0, 2):
+            continue
+        words.append(vocab[i] if 0 <= i < len(vocab) else "<unk>")
+    return " ".join(words)
+
+
+@pytest.fixture(scope="module")
+def cider_setup(tmp_path_factory):
+    rng = np.random.default_rng(0)
+    vocab = ["<pad>", "<unk>", "<bos>", "<eos>"] + [f"w{i}" for i in range(4, 60)]
+    tok2id = {w: i for i, w in enumerate(vocab)}
+
+    def sent(lo=3, hi=12):
+        return " ".join(rng.choice(vocab[4:], rng.integers(lo, hi)))
+
+    corpus = [[sent() for _ in range(5)] for _ in range(30)]
+    df_path = str(tmp_path_factory.mktemp("df") / "df.p")
+    build_df_pickle(corpus, df_path)
+    scorer = CiderScorer.from_pickle(df_path)
+    return vocab, tok2id, scorer, sent
+
+
+def test_device_cider_matches_host_scorer(cider_setup):
+    import jax
+    import jax.numpy as jnp
+
+    vocab, tok2id, scorer, sent = cider_setup
+    rng = np.random.default_rng(1)
+    b, spi, t = 6, 3, 12
+
+    gts = [[sent() for _ in range(int(rng.integers(2, 6)))] for _ in range(b)]
+    gts[0][0] += " zzz zzz qqq"  # OOV ref words: must never match a sampled id
+    gts[1][0] += " <unk>"  # literal <unk> ref word DOES match sampled id 1
+
+    ids = rng.integers(0, len(vocab), (b * spi, t)).astype(np.int32)
+    ids[0, :] = 3  # empty caption (eos at position 0)
+    ids[1, :4] = [5, 0, 2, 5]  # pad/bos noise inside the caption
+    ids[1, 4:] = 3
+    ids[2, :] = 7  # no eos at all + max repetition
+    ids[3, :6] = [8, 9, 8, 9, 8, 3]  # repeated bigrams
+    img_idx = np.repeat(np.arange(b), spi).astype(np.int32)
+
+    host = CiderScorer(df=scorer.df, ref_len=scorer.ref_len)
+    for k in range(b * spi):
+        host.append(_host_decode(ids[k], vocab), gts[img_idx[k]])
+    _, want = host.compute()
+
+    table = devr.DfTable.build(scorer.df, scorer.ref_len, tok2id)
+    fn = jax.jit(devr.make_cider_device_fn(table))
+    pack = devr.build_ref_pack(gts, scorer.df, scorer.ref_len, tok2id,
+                               vocab_size=len(vocab))
+    got = np.asarray(fn(jnp.asarray(ids), jnp.asarray(img_idx),
+                        table.device_arrays(), devr.ref_pack_device(pack)))
+    np.testing.assert_allclose(got, want, rtol=2e-4, atol=2e-5)
+    assert np.any(want > 0), "degenerate fixture: all-zero host scores"
+
+
+def test_ref_pack_bucketing_pads_are_neutral(cider_setup):
+    """Padding L/R up (the engine's bucketing) must not change scores."""
+    import jax
+    import jax.numpy as jnp
+
+    vocab, tok2id, scorer, sent = cider_setup
+    rng = np.random.default_rng(2)
+    gts = [[sent() for _ in range(3)] for _ in range(2)]
+    ids = rng.integers(4, len(vocab), (4, 10)).astype(np.int32)
+    ids[:, -1] = 3
+    img_idx = np.asarray([0, 0, 1, 1], np.int32)
+
+    table = devr.DfTable.build(scorer.df, scorer.ref_len, tok2id)
+    fn = jax.jit(devr.make_cider_device_fn(table))
+
+    def run(**kw):
+        pack = devr.build_ref_pack(gts, scorer.df, scorer.ref_len, tok2id,
+                                   vocab_size=len(vocab), **kw)
+        return np.asarray(fn(jnp.asarray(ids), jnp.asarray(img_idx),
+                             table.device_arrays(), devr.ref_pack_device(pack)))
+
+    np.testing.assert_allclose(run(), run(max_refs=7, max_grams=96), rtol=1e-6)
+
+
+def test_leave_one_out_baseline_matches_host():
+    import jax.numpy as jnp
+
+    sc = np.random.default_rng(3).random(12).astype(np.float32)
+    spi = 4
+    sums = sc.reshape(-1, spi).sum(-1)
+    want = (np.repeat(sums, spi) - sc) / (spi - 1)  # scst/scorers.py:104-105
+    got = np.asarray(devr.leave_one_out_baseline(jnp.asarray(sc), spi))
+    np.testing.assert_allclose(got, want, rtol=1e-5)
+
+
+# --------------------------------------------------------------- engine level
+from sparse_caption_tpu.config import Config  # noqa: E402
+from sparse_caption_tpu.opts import parse_opt  # noqa: E402
+
+TINY = ["--d_model", "8", "--dim_feedforward", "16", "--num_layers", "1", "--num_heads", "2"]
+
+
+def _dense_module(fixture_dataset, tmp_path, extra=()):
+    argv = [
+        "--caption_model", "transformer",
+        "--dataset", "mscoco_testing",
+        "--dataset_dir", fixture_dataset,
+        "--log_dir", str(tmp_path),
+        "--tokenizer", "word",
+        "--vocab_size", "64",
+        "--batch_size", "2",
+        "--max_epochs", "1",
+        "--max_seq_length", "10",
+        "--max_att_regions", "8",
+        "--att_feat_size", "16",
+        "--seq_per_img", "3",
+        "--cache_min_free_ram", "1.0",
+        "--scst_start_epoch", "0",
+        "--scst_num_samples", "3",
+        "--scst_sample", "random",
+    ] + TINY + list(extra)
+    args = parse_opt(argv)
+    config = Config(**vars(args))
+    from sparse_caption_tpu.engine.training import TrainingModule
+
+    module = TrainingModule(config)
+    module.prepare()
+    module.init_state()
+    return module
+
+
+@pytest.mark.parametrize("baseline", ["greedy", "sample"])
+def test_device_reward_step_matches_host_step(fixture_dataset, tmp_path, baseline):
+    """Same state + batch + (state.step-derived) key: the device-reward SCST
+    step reproduces the host-reward step's update (rewards f32 vs f64)."""
+    import jax
+
+    host = _dense_module(fixture_dataset, tmp_path / "host",
+                         extra=["--scst_baseline", baseline])
+    dev = _dense_module(fixture_dataset, tmp_path / "dev",
+                        extra=["--scst_baseline", baseline, "--scst_reward", "device"])
+    assert getattr(dev, "scst_device", None) is not None
+    for a, b in zip(jax.tree.leaves(host.state.params), jax.tree.leaves(dev.state.params)):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+    batch_h = next(iter(host.train_loader))
+    batch_d = next(iter(dev.train_loader))
+    state_h, loss_h, aux_h = host.make_scst_step()(host.state, batch_h)
+    state_d, loss_d, aux_d = dev.make_scst_step()(dev.state, batch_d)
+
+    np.testing.assert_allclose(float(loss_h), float(loss_d), atol=1e-5)
+    np.testing.assert_allclose(float(aux_h["avg_reward"]), float(aux_d["avg_reward"]),
+                               atol=1e-5)
+    for a, b in zip(jax.tree.leaves(state_h.params), jax.tree.leaves(state_d.params)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-5)
+
+
+def test_device_fused_step_equals_device_two_phase(fixture_dataset, tmp_path):
+    """The fused single-jit step with in-jit rewards (NO io_callback — the
+    path that runs on callback-less TPU backends) equals the two-phase
+    device step: both derive the same key from state.step."""
+    import jax
+
+    module = _dense_module(fixture_dataset, tmp_path / "fd",
+                           extra=["--scst_baseline", "sample", "--scst_reward", "device"])
+    two = module.make_scst_step()
+    fused = module.make_scst_fused_step()
+    batch = next(iter(module.train_loader))
+
+    state_a, loss_a, _ = two(module.state, batch)
+    state_b, loss_b, _ = fused(module.state, batch)
+    np.testing.assert_allclose(float(loss_a), float(loss_b), atol=1e-6)
+    for a, b in zip(jax.tree.leaves(state_a.params), jax.tree.leaves(state_b.params)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-6)
+
+
+def test_pipelined_factory_defers_to_device_step(fixture_dataset, tmp_path):
+    module = _dense_module(fixture_dataset, tmp_path / "pl",
+                           extra=["--scst_baseline", "sample", "--scst_reward", "device",
+                                  "--scst_pipeline"])
+    step = module.make_scst_pipelined_step()
+    assert not hasattr(step, "flush")  # the device serial step, not the pipeline
