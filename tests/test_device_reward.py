@@ -208,3 +208,68 @@ def test_pipelined_factory_defers_to_device_step(fixture_dataset, tmp_path):
                                   "--scst_pipeline"])
     step = module.make_scst_pipelined_step()
     assert not hasattr(step, "flush")  # the device serial step, not the pipeline
+
+
+def test_device_reward_beam_mode_matches_host(fixture_dataset, tmp_path):
+    """Beam-search sampling + device rewards: the grad pass differentiates
+    through the beam recompute; rewards still match the host scorer."""
+    import jax
+
+    extra = ["--scst_sample", "beam_search", "--scst_baseline", "sample",
+             "--scst_num_samples", "2"]
+    host = _dense_module(fixture_dataset, tmp_path / "bh", extra=extra)
+    dev = _dense_module(fixture_dataset, tmp_path / "bd",
+                        extra=extra + ["--scst_reward", "device"])
+    state_h, loss_h, _ = host.make_scst_step()(host.state, next(iter(host.train_loader)))
+    state_d, loss_d, _ = dev.make_scst_step()(dev.state, next(iter(dev.train_loader)))
+    np.testing.assert_allclose(float(loss_h), float(loss_d), atol=1e-5)
+    for a, b in zip(jax.tree.leaves(state_h.params), jax.tree.leaves(state_d.params)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-5)
+
+
+def test_device_reward_supermask_module(fixture_dataset, tmp_path):
+    """Pruned (supermask) model: the device branch runs the scan-recompute
+    grad path; rewards/updates match host scoring (the paper's sparse-SCST
+    stages can use --scst_reward device)."""
+    import jax
+
+    argv_common = [
+        "--caption_model", "transformer_prune",
+        "--dataset", "mscoco_testing",
+        "--dataset_dir", fixture_dataset,
+        "--tokenizer", "word",
+        "--vocab_size", "64",
+        "--batch_size", "2",
+        "--max_epochs", "1",
+        "--max_seq_length", "10",
+        "--max_att_regions", "8",
+        "--att_feat_size", "16",
+        "--seq_per_img", "3",
+        "--cache_min_free_ram", "1.0",
+        "--prune_type", "supermask",
+        "--prune_sparsity_target", "0.5",
+        "--scst_start_epoch", "0",
+        "--scst_num_samples", "3",
+        "--scst_sample", "random",
+        "--scst_baseline", "sample",
+    ] + TINY
+
+    def mk(log_dir, extra):
+        from sparse_caption_tpu.engine.prune_training import PruneTrainingModule
+
+        args = parse_opt(argv_common + ["--log_dir", str(log_dir)] + list(extra),
+                         include_pruning=True)
+        m = PruneTrainingModule(Config(**vars(args)))
+        m.prepare()
+        m.init_state()
+        return m
+
+    host = mk(tmp_path / "sh", [])
+    dev = mk(tmp_path / "sd", ["--scst_reward", "device"])
+    state_h, loss_h, _ = host.make_scst_step()(host.state, next(iter(host.train_loader)))
+    state_d, loss_d, _ = dev.make_scst_step()(dev.state, next(iter(dev.train_loader)))
+    np.testing.assert_allclose(float(loss_h), float(loss_d), atol=1e-5)
+    for a, b in zip(jax.tree.leaves(state_h.params), jax.tree.leaves(state_d.params)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-5)
+    for a, b in zip(jax.tree.leaves(state_h.masks), jax.tree.leaves(state_d.masks)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-5)
