@@ -190,21 +190,19 @@ class TrainingModule:
             "are words); radix/char/bpe captions score on decoded word strings "
             "-> use --scst_reward host")
         bleu_w = [float(x) for x in config.get("scst_bleu_weight", [0.0] * 4)]
-        assert float(config.get("scst_cider_weight", 1.0)) > 0 and max(bleu_w) == 0.0, (
-            "--scst_reward device implements the CIDEr-only reward (every "
-            "published reference SCST config, resources/commands_*.sh); "
-            "BLEU-weighted rewards need --scst_reward host")
         scorer = CiderScorer.from_pickle(df_path)
         tok2id = dict(self.tokenizer._token_to_id)
         table = devr.DfTable.build(scorer.df, scorer.ref_len, tok2id)
         self.scst_device = {
             "table": table, "df": scorer.df, "tok2id": tok2id,
             "tbl_dev": table.device_arrays(),
-            "fn": devr.make_cider_device_fn(
+            # the weighted CIDEr-D + BLEU mix is baked into the jitted fn
+            "fn": devr.make_reward_device_fn(
                 table, eos_id=self.tokenizer.eos_token_id,
                 pad_id=self.tokenizer.pad_token_id,
-                bos_id=self.tokenizer.bos_token_id),
-            "cider_weight": float(config.get("scst_cider_weight", 1.0)),
+                bos_id=self.tokenizer.bos_token_id,
+                cider_weight=float(config.get("scst_cider_weight", 1.0)),
+                bleu_weight=bleu_w),
         }
         logger.info("device CIDEr-D reward: df table %d slots (probe depth %d)",
                     table.size, table.probe)
@@ -567,21 +565,19 @@ class TrainingModule:
 
             score_dev = device_reward["fn"]
             tbl_dev = device_reward["tbl_dev"]
-            cider_w = device_reward["cider_weight"]
 
             @jax.jit
             def grad_fn_dev(state: TrainState, inputs, sample_seq, greedy_seq, pack, step):
-                """Device-reward grad step: CIDEr-D computed in-jit from the
-                sampled ids — the SCST loop never touches the host."""
+                """Device-reward grad step: CIDEr-D(+BLEU) computed in-jit from
+                the sampled ids — the SCST loop never touches the host."""
                 rng = jax.random.fold_in(scst_base_rng, step)
                 b, s, t = sample_seq.shape
                 flat = sample_seq.reshape(b * s, t)
                 img_idx = jnp.repeat(jnp.arange(b), s)
-                sc_s = score_dev(flat, img_idx, tbl_dev, pack) * cider_w
+                sc_s = score_dev(flat, img_idx, tbl_dev, pack)
                 if baseline_mode == "greedy":
                     sc_b = jnp.repeat(
-                        score_dev(greedy_seq.reshape(b, t), jnp.arange(b), tbl_dev, pack)
-                        * cider_w, s)
+                        score_dev(greedy_seq.reshape(b, t), jnp.arange(b), tbl_dev, pack), s)
                 else:
                     sc_b = devr.leave_one_out_baseline(sc_s, s)
                 rewards = jax.lax.stop_gradient(sc_s - sc_b)
@@ -816,7 +812,6 @@ class TrainingModule:
 
             score_dev = device_reward["fn"]
             tbl_dev = device_reward["tbl_dev"]
-            cider_w = device_reward["cider_weight"]
 
         @jax.jit
         def fused(state: TrainState, inputs, pack=None, rng=None):
@@ -849,11 +844,11 @@ class TrainingModule:
                     bb, ss, tt = ids.shape
                     flat_ids = ids.reshape(bb * ss, tt)
                     img_idx = jnp.repeat(jnp.arange(bb), ss)
-                    sc_s = score_dev(flat_ids, img_idx, tbl_dev, pack) * cider_w
+                    sc_s = score_dev(flat_ids, img_idx, tbl_dev, pack)
                     if baseline_mode == "greedy":
                         sc_b = jnp.repeat(
                             score_dev(greedy_ids.reshape(bb, tt), jnp.arange(bb),
-                                      tbl_dev, pack) * cider_w, ss)
+                                      tbl_dev, pack), ss)
                     else:
                         sc_b = devr.leave_one_out_baseline(sc_s, ss)
                     rewards = jax.lax.stop_gradient(sc_s - sc_b)

@@ -70,10 +70,10 @@ def add_training_args(parser) -> None:
     parser.add_argument("--scst_cider_weight", type=float, default=1.0)
     parser.add_argument("--scst_bleu_weight", type=list_of_floats, default=(0.0, 0.0, 0.0, 0.0))
     parser.add_argument("--scst_reward", type=str, default="host", choices=["host", "device"],
-                        help="'device': compute CIDEr-D rewards INSIDE the jitted step "
+                        help="'device': compute the CIDEr-D(+BLEU) reward INSIDE the jitted step "
                              "(scst/device_reward.py) — no device->host transfer per SCST step; "
-                             "requires word tokenization and bleu_weight 0. 'host' (default): "
-                             "reference-style host scoring (any tokenizer/reward mix)")
+                             "requires word tokenization. 'host' (default): reference-style "
+                             "host scoring (any tokenizer)")
     parser.add_argument("--scst_fused", action="store_true",
                         help="single-jit SCST step: sampling under grad + io_callback rewards "
                              "(requires a PJRT backend with host callbacks; tunneled/relay TPU "

@@ -33,10 +33,14 @@ rounding differs.  OOV reference words get per-image private ids above
 the vocab so they can never collide with a sampled token, mirroring
 string inequality on host.
 
+BLEU-1..4 is computed on device too (the published SCST configs use
+``--scst_bleu_weight 0,0,0,1``, ``resources/commands_pruning.sh:69``):
+clipped matches against per-gram max reference counts (reused from the
+same match matrix), "closest" effective reference length, tiny/small
+smoothing and the per-image brevity penalty of ``metrics/bleu.py``.
+
 Scope: word-level tokenization (sampled ids ARE words; radix/character
-captions score on decoded word strings, which stays on host) and
-CIDEr-only reward (``bleu_weight == 0`` — every published SCST config of
-the reference, ``resources/commands_*.sh``).
+captions score on decoded word strings, which stays on host).
 """
 
 from __future__ import annotations
@@ -175,9 +179,11 @@ def build_ref_pack(gts: List[List[str]], df: Dict, ref_len: float,
     hi = np.zeros((b, r_max, l_max), np.uint32)
     lo = np.zeros((b, r_max, l_max), np.uint32)
     val = np.zeros((b, r_max, l_max), np.float32)
+    cnt = np.zeros((b, r_max, l_max), np.float32)  # raw tf (BLEU clipping)
     gn = np.zeros((b, r_max, l_max), np.int32)
     norms = np.zeros((b, r_max, N_GRAMS), np.float32)
     lens = np.zeros((b, r_max), np.float32)
+    wlens = np.zeros((b, r_max), np.int32)  # word counts (BLEU closest reflen)
     ref_valid = np.zeros((b, r_max), np.float32)
     n_refs = np.zeros((b,), np.float32)
     for i, refs in enumerate(cooked):
@@ -190,6 +196,7 @@ def build_ref_pack(gts: List[List[str]], df: Dict, ref_len: float,
                 f"image {i} ref {r}: {len(counts)} grams > max_grams {l_max}"
             norm = [0.0] * N_GRAMS
             length = 0
+            wlen = 0
             for j, (gram, tf) in enumerate(counts.items()):
                 ids = []
                 for w in gram:
@@ -202,13 +209,17 @@ def build_ref_pack(gts: List[List[str]], df: Dict, ref_len: float,
                 n = len(gram) - 1
                 v = float(tf) * (ref_len - dfv)
                 hi[i, r, j], lo[i, r, j], val[i, r, j], gn[i, r, j] = khi, klo, v, n
+                cnt[i, r, j] = float(tf)
                 norm[n] += v * v
+                if n == 0:
+                    wlen += tf  # unigram tf total == word count
                 if n == 1:
                     length += tf  # reference quirk: "length" counts bigrams
             norms[i, r] = [math.sqrt(x) for x in norm]
             lens[i, r] = length
-    return {"hi": hi, "lo": lo, "val": val, "n": gn, "norms": norms,
-            "lens": lens, "ref_valid": ref_valid, "n_refs": n_refs}
+            wlens[i, r] = wlen
+    return {"hi": hi, "lo": lo, "val": val, "cnt": cnt, "n": gn, "norms": norms,
+            "lens": lens, "wlens": wlens, "ref_valid": ref_valid, "n_refs": n_refs}
 
 
 def ref_pack_device(pack):
@@ -218,14 +229,16 @@ def ref_pack_device(pack):
 
 
 # ------------------------------------------------------------ device scorer
-def make_cider_device_fn(table: DfTable, eos_id: int = 3, pad_id: int = 0,
-                         bos_id: int = 2):
+def make_reward_device_fn(table: DfTable, eos_id: int = 3, pad_id: int = 0,
+                          bos_id: int = 2, cider_weight: float = 1.0,
+                          bleu_weight: Sequence[float] = (0.0, 0.0, 0.0, 0.0)):
     """Build the jittable scorer.
 
     Returns ``score(ids (N, T) int32, img_idx (N,) int32, tbl, pack)
-    -> (N,) f32`` CIDEr-D x 10 scores, where ``tbl`` is
-    ``table.device_arrays()`` and ``pack`` is ``ref_pack_device(...)``.
-    Trace-compatible across batches with the same (T, R, L) shapes.
+    -> (N,) f32`` weighted rewards (CIDEr-D x 10 x cider_weight +
+    BLEU-1..4 x bleu_weight), where ``tbl`` is ``table.device_arrays()``
+    and ``pack`` is ``ref_pack_device(...)``.  Trace-compatible across
+    batches with the same (T, R, L) shapes.
     """
     import jax
     import jax.numpy as jnp
@@ -233,6 +246,10 @@ def make_cider_device_fn(table: DfTable, eos_id: int = 3, pad_id: int = 0,
     probe = table.probe
     size = table.size
     ref_len = table.ref_len
+    cider_weight = float(cider_weight)
+    bleu_weight = [float(x) for x in bleu_weight]
+    assert len(bleu_weight) == N_GRAMS
+    with_bleu = max(bleu_weight) > 0
 
     def _grams(ids):
         """(T,) int32 sampled ids -> packed gram slots (G=4T,)."""
@@ -267,7 +284,8 @@ def make_cider_device_fn(table: DfTable, eos_id: int = 3, pad_id: int = 0,
         hit = (thi == ghi[:, None]) & (tlo == glo[:, None]) & ((thi | tlo) != _EMPTY)
         return jnp.sum(jnp.where(hit, tbl["val"][idx], 0.0), axis=1)
 
-    def _score_one(ids, tbl, rhi, rlo, rval, rn, rnorms, rlens, rvalid, n_refs):
+    def _score_one(ids, tbl, rhi, rlo, rval, rcnt, rn, rnorms, rlens, rwlens,
+                   rvalid, n_refs):
         ghi, glo, gn, gvalid, length = _grams(ids)
         eq = (ghi[:, None] == ghi[None, :]) & (glo[:, None] == glo[None, :])
         eqv = eq & gvalid[None, :] & gvalid[:, None]
@@ -290,18 +308,47 @@ def make_cider_device_fn(table: DfTable, eos_id: int = 3, pad_id: int = 0,
         sim = jnp.where(denom > 0, num / jnp.where(denom > 0, denom, 1.0), 0.0)
         gauss = jnp.exp(-((lh - rlens) ** 2) / (2 * SIGMA ** 2))  # (R,)
         sim = sim * (gauss * rvalid)[:, None]
-        return 10.0 * jnp.sum(jnp.mean(sim, axis=1)) / jnp.maximum(n_refs, 1.0)
+        cider = 10.0 * jnp.sum(jnp.mean(sim, axis=1)) / jnp.maximum(n_refs, 1.0)
+        total = cider_weight * cider
+        if with_bleu:
+            # metrics/bleu.py parity: clipped matches vs per-gram MAX ref
+            # count (the same match matrix m), closest effective reflen,
+            # tiny/small smoothing, per-image brevity penalty
+            max_ref = jnp.max(jnp.where(m, rcnt[None], 0.0), axis=(1, 2))  # (G,)
+            correct_g = jnp.minimum(tf.astype(jnp.float32), max_ref) * fv
+            correct = jnp.einsum("gn,g->n", n_onehot, correct_g)  # (4,)
+            testlen = length
+            guess = jnp.maximum(testlen - jnp.arange(N_GRAMS), 0).astype(jnp.float32)
+            # closest reflen, ties -> smaller (min over (|l-t|, l) tuples)
+            big = jnp.int32(1 << 20)
+            key = jnp.abs(rwlens - testlen) * 2048 + rwlens
+            key = jnp.where(rvalid > 0, key, big)
+            reflen = rwlens[jnp.argmin(key)].astype(jnp.float32)
+            bleu = jnp.cumprod((correct + 1e-15) / (guess + 1e-9))
+            bleu = bleu ** (1.0 / jnp.arange(1, N_GRAMS + 1))
+            ratio = (testlen.astype(jnp.float32) + 1e-15) / (reflen + 1e-9)
+            penalty = jnp.where(ratio < 1, jnp.exp(1.0 - 1.0 / ratio), 1.0)
+            total = total + jnp.dot(bleu * penalty, jnp.asarray(bleu_weight))
+        return total
 
     def score(ids, img_idx, tbl, pack):
         gather = lambda a: a[img_idx]  # noqa: E731 — (N, R, ...) per item
         return jax.vmap(
-            lambda s, rhi, rlo, rval, rn, rnorms, rlens, rvalid, nr:
-            _score_one(s, tbl, rhi, rlo, rval, rn, rnorms, rlens, rvalid, nr)
+            lambda s, rhi, rlo, rval, rcnt, rn, rnorms, rlens, rwlens, rvalid, nr:
+            _score_one(s, tbl, rhi, rlo, rval, rcnt, rn, rnorms, rlens, rwlens,
+                       rvalid, nr)
         )(ids, gather(pack["hi"]), gather(pack["lo"]), gather(pack["val"]),
-          gather(pack["n"]), gather(pack["norms"]), gather(pack["lens"]),
+          gather(pack["cnt"]), gather(pack["n"]), gather(pack["norms"]),
+          gather(pack["lens"]), gather(pack["wlens"]),
           gather(pack["ref_valid"]), gather(pack["n_refs"]))
 
     return score
+
+
+def make_cider_device_fn(table: DfTable, eos_id: int = 3, pad_id: int = 0,
+                         bos_id: int = 2):
+    """Unweighted CIDEr-D-only scorer (back-compat name)."""
+    return make_reward_device_fn(table, eos_id, pad_id, bos_id)
 
 
 def leave_one_out_baseline(sc, spi: int):

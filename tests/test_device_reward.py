@@ -273,3 +273,74 @@ def test_device_reward_supermask_module(fixture_dataset, tmp_path):
         np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-5)
     for a, b in zip(jax.tree.leaves(state_h.masks), jax.tree.leaves(state_d.masks)):
         np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-5)
+
+
+def test_device_weighted_cider_bleu_matches_host_scorer(cider_setup, tmp_path):
+    """The published reward mix (cider 1.0 + bleu 0,0,0,1,
+    commands_pruning.sh:69) on device vs the host CaptionScorer."""
+    import jax
+    import jax.numpy as jnp
+
+    from sparse_caption_tpu.scst.scorers import CaptionScorer
+
+    vocab, tok2id, scorer, sent = cider_setup
+    rng = np.random.default_rng(4)
+    b, spi, t = 4, 3, 12
+    gts = [[sent(lo=6, hi=11) for _ in range(3)] for _ in range(b)]
+    ids = rng.integers(0, len(vocab), (b * spi, t)).astype(np.int32)
+    ids[0, :] = 3  # empty caption
+    ids[1, 6:] = 3
+    img_idx = np.repeat(np.arange(b), spi).astype(np.int32)
+    # ref-copied candidates: real 4-gram matches so BLEU-4 is materially
+    # nonzero (random captions never match a 4-gram)
+    for k in (2, 5, 7, 10):
+        i = img_idx[k]
+        wids = [tok2id[w] for w in gts[i][k % 3].split()][: t - 1]
+        if k in (5, 10):  # partial copy: brevity penalty + clipped counts
+            wids = wids[:6]
+        ids[k, :] = 3
+        ids[k, : len(wids)] = wids
+
+    # host: CaptionScorer combines CIDEr-D + per-image BLEU (closest)
+    df_path = scorer  # scorer fixture already loaded from its pickle
+    host_scorer = CaptionScorer.__new__(CaptionScorer)
+    host_scorer.path_to_cached_tokens = ""
+    host_scorer.cider_weight = 1.0
+    host_scorer.bleu_weight = [0.0, 0.0, 0.0, 1.0]
+    host_scorer._df_cache = (df_path.df, df_path.ref_len)
+    sample = [[_host_decode(ids[i * spi + j], vocab) for j in range(spi)]
+              for i in range(b)]
+    sc_host, sc_base_host = host_scorer(refs=gts, sample=sample, baseline=None)
+
+    table = devr.DfTable.build(scorer.df, scorer.ref_len, tok2id)
+    fn = jax.jit(devr.make_reward_device_fn(table, cider_weight=1.0,
+                                            bleu_weight=(0, 0, 0, 1)))
+    pack = devr.build_ref_pack(gts, scorer.df, scorer.ref_len, tok2id,
+                               vocab_size=len(vocab))
+    got = np.asarray(fn(jnp.asarray(ids), jnp.asarray(img_idx),
+                        table.device_arrays(), devr.ref_pack_device(pack)))
+    np.testing.assert_allclose(got, sc_host, rtol=2e-4, atol=2e-5)
+    got_base = np.asarray(devr.leave_one_out_baseline(jnp.asarray(got), spi))
+    np.testing.assert_allclose(got_base, sc_base_host, rtol=2e-4, atol=2e-5)
+    # the bleu term actually contributes (guards against a silent no-op)
+    fn_cider = jax.jit(devr.make_reward_device_fn(table))
+    cider_only = np.asarray(fn_cider(jnp.asarray(ids), jnp.asarray(img_idx),
+                                     table.device_arrays(), devr.ref_pack_device(pack)))
+    assert np.any(np.abs(got - cider_only) > 1e-4)
+
+
+def test_device_reward_bleu_weighted_step_matches_host(fixture_dataset, tmp_path):
+    """Engine step parity under the published cider+bleu4 reward mix."""
+    import jax
+
+    extra = ["--scst_baseline", "sample", "--scst_bleu_weight", "0,0,0,1"]
+    host = _dense_module(fixture_dataset, tmp_path / "wh", extra=extra)
+    dev = _dense_module(fixture_dataset, tmp_path / "wd",
+                        extra=extra + ["--scst_reward", "device"])
+    state_h, loss_h, aux_h = host.make_scst_step()(host.state, next(iter(host.train_loader)))
+    state_d, loss_d, aux_d = dev.make_scst_step()(dev.state, next(iter(dev.train_loader)))
+    np.testing.assert_allclose(float(loss_h), float(loss_d), atol=1e-5)
+    np.testing.assert_allclose(float(aux_h["avg_reward"]), float(aux_d["avg_reward"]),
+                               atol=1e-5)
+    for a, b in zip(jax.tree.leaves(state_h.params), jax.tree.leaves(state_d.params)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-5)
