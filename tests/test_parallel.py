@@ -194,3 +194,24 @@ def test_dp_step_matches_single_device(fixture_dataset, tmp_path):
     np.testing.assert_allclose(float(loss1), float(loss2), rtol=1e-5)
     d = jax.tree.map(lambda a, b: float(jnp.max(jnp.abs(a - b))), s1.params, s2.params)
     assert max(jax.tree.leaves(d)) < 1e-5
+
+
+def test_scst_device_reward_step_matches_single_device(fixture_dataset, tmp_path):
+    """--scst_reward device under a dp mesh: the in-jit CIDEr-D scoring
+    partitions with the batch (no host scoring to bottleneck a pod) and
+    reproduces the single-device update."""
+    extra = ["--scst_start_epoch", "0", "--scst_num_samples", "3",
+             "--scst_sample", "random", "--scst_baseline", "sample",
+             "--scst_reward", "device"]
+    m1 = _built_module(fixture_dataset, tmp_path / "single", None, extra)
+    m2 = _built_module(fixture_dataset, tmp_path / "mesh", "2,1", extra)
+    s1_fn, s2_fn = m1.make_scst_step(), m2.make_scst_step()
+    # rng=None routes through the device-reward branch; both modules sit at
+    # state.step=0 so they derive the identical sampling key
+    s1, loss1, aux1 = s1_fn(m1.state, next(iter(m1.train_loader)))
+    s2, loss2, aux2 = s2_fn(m2.state, next(iter(m2.train_loader)))
+    np.testing.assert_allclose(float(loss1), float(loss2), atol=1e-5)
+    np.testing.assert_allclose(float(aux1["avg_reward"]), float(aux2["avg_reward"]),
+                               atol=1e-5)
+    d = jax.tree.map(lambda a, b: float(jnp.max(jnp.abs(a - b))), s1.params, s2.params)
+    assert max(jax.tree.leaves(d)) < 1e-5
