@@ -37,6 +37,10 @@ precision (scripts/eval_model.py --cast bf16) and standard TPU practice.
   policy lag, documented in engine/training.py make_scst_pipelined_step).
 * scst_beam_steps_per_sec: beam-5 SCST (differentiable beam-scan
   recompute gradient pass; reference utils/training.py:225-230).
+* scst_device_reward_steps_per_sec (+ sparse variant): --scst_reward
+  device — the CIDEr-D reward computed INSIDE the jitted grad step
+  (scst/device_reward.py), so the loop has zero device->host syncs and
+  runs as pure async dispatch.
 * xe_steps_per_sec_batch256 + *_mfu fields: large-batch XE and analytic
   matmul-FLOPs MFU vs the chip's peak bf16 rate (the reference batch-15
   step is latency-bound; MFU quantifies how idle the chip is there).

@@ -310,10 +310,14 @@ def bench_reference_scst(iters: int) -> float:
     return iters / (time.perf_counter() - t0)
 
 
-def bench_ours_scst(iters: int) -> float:
+def bench_ours_scst(iters: int, device_reward: bool = False) -> float:
     """Our two-phase SCST step: jitted train-mode sampling -> reward
     (native C++ scorer when built, else pure Python) -> jitted
-    teacher-forced-replay REINFORCE update."""
+    teacher-forced-replay REINFORCE update.
+
+    ``device_reward=True`` benches --scst_reward device: the CIDEr-D
+    reward is computed inside the jitted grad step (scst/device_reward.py)
+    and the loop has no compute->host->compute boundary at all."""
     import jax
 
     jax.config.update("jax_platforms", "cpu")
@@ -360,8 +364,7 @@ def bench_ours_scst(iters: int) -> float:
                              rngs={"dropout": kd, "mask": km}, method="encode")
         return generate(model, v, memory, sample_opt, rng=kdec)[0]
 
-    @jax.jit
-    def grad_fn(state, sample_seq, rewards):
+    def _update_body(state, sample_seq, rewards):
         rng = jax.random.fold_in(base_rng, state["step"])
         flat = sample_seq.reshape(SCST_B * SCST_N, t)
 
@@ -385,6 +388,41 @@ def bench_ours_scst(iters: int) -> float:
 
         return {"params": optax.apply_updates(state["params"], uw), "ow": ow,
                 "step": state["step"] + 1}, loss
+
+    grad_fn = jax.jit(_update_body)
+
+    if device_reward:
+        from sparse_caption_tpu.metrics.cider import CiderScorer as _CS
+        from sparse_caption_tpu.scst import device_reward as devr
+
+        tok2id = {"<pad>": 0, "<unk>": 1, "<bos>": 2, "<eos>": 3}
+        tok2id.update({f"w{i}": i for i in range(4, VOCAB)})
+        _cs = _CS.from_pickle(df_path)
+        table = devr.DfTable.build(_cs.df, _cs.ref_len, tok2id)
+        score_dev = devr.make_reward_device_fn(table)
+        tbl_dev = table.device_arrays()
+        pack_dev = devr.ref_pack_device(
+            devr.build_ref_pack(gts, _cs.df, _cs.ref_len, tok2id, vocab_size=VOCAB))
+        img_idx = jnp.repeat(jnp.arange(SCST_B), SCST_N)
+
+        @jax.jit
+        def grad_fn_dev(state, sample_seq):
+            flat = sample_seq.reshape(SCST_B * SCST_N, t)
+            sc = score_dev(flat, img_idx, tbl_dev, pack_dev)
+            rewards = sc - devr.leave_one_out_baseline(sc, SCST_N)
+            return _update_body(state, sample_seq, rewards)
+
+        def step(state):
+            sample_seq = sample_fn(state["params"], state["step"])
+            return grad_fn_dev(state, sample_seq)
+
+        state, loss = step(state)
+        np.asarray(loss)  # compile+warmup
+        t0 = time.perf_counter()
+        for _ in range(iters):
+            state, loss = step(state)
+        np.asarray(loss)
+        return iters / (time.perf_counter() - t0)
 
     def step(state):
         sample_np = np.asarray(sample_fn(state["params"], state["step"]))
@@ -445,6 +483,7 @@ def main() -> None:
             "ours_xe": lambda: bench_ours_xe(args.train_iters),
             "ref_xe": lambda: bench_reference_xe(args.train_iters),
             "ours_scst": lambda: bench_ours_scst(args.train_iters),
+            "ours_scst_device": lambda: bench_ours_scst(args.train_iters, device_reward=True),
             "ref_scst": lambda: bench_reference_scst(args.train_iters),
         }
         print(json.dumps({"value": fns[args.only]()}))
@@ -463,14 +502,17 @@ def main() -> None:
         ours_xe = _run_isolated("ours_xe", args)
         ref_xe = _run_isolated("ref_xe", args)
         ours_scst = _run_isolated("ours_scst", args)
+        ours_scst_dev = _run_isolated("ours_scst_device", args)
         ref_scst = _run_isolated("ref_scst", args)
         out.update({
             "ours_xe_steps_per_sec": round(ours_xe, 3),
             "reference_xe_steps_per_sec": round(ref_xe, 3),
             "ours_over_reference_xe_same_cpu": round(ours_xe / ref_xe, 3),
             "ours_scst_steps_per_sec": round(ours_scst, 3),
+            "ours_scst_device_reward_steps_per_sec": round(ours_scst_dev, 3),
             "reference_scst_steps_per_sec": round(ref_scst, 3),
             "ours_over_reference_scst_same_cpu": round(ours_scst / ref_scst, 3),
+            "ours_device_over_reference_scst_same_cpu": round(ours_scst_dev / ref_scst, 3),
             "train_config": f"XE {XE_B}x{XE_SPI} captions; SCST b{SCST_B} n{SCST_N} "
                             "random samples, sample-mean baseline",
         })
