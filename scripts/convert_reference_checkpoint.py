@@ -27,6 +27,13 @@ from pathlib import Path
 
 sys.path.insert(0, str(Path(__file__).resolve().parent.parent))
 
+# Host-side tool: everything here is numpy/msgpack conversion, so never
+# initialize an accelerator backend (the axon TPU plugin ignores
+# JAX_PLATFORMS and hangs for minutes when the relay is unreachable).
+from sparse_caption_tpu.utils.jax_setup import select_platform  # noqa: E402
+
+select_platform("cpu")
+
 
 def parse_args():
     p = argparse.ArgumentParser(formatter_class=argparse.ArgumentDefaultsHelpFormatter)

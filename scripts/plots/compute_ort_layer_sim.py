@@ -19,6 +19,13 @@ from pathlib import Path
 
 sys.path.insert(0, str(Path(__file__).resolve().parent.parent.parent))
 
+# Host-side plotting tool: pin the CPU backend before any jax-touching
+# import (the axon TPU plugin ignores JAX_PLATFORMS and hangs for minutes
+# when the relay is unreachable).
+from sparse_caption_tpu.utils.jax_setup import select_platform  # noqa: E402
+
+select_platform("cpu")
+
 import numpy as np
 
 

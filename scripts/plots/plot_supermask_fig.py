@@ -22,6 +22,13 @@ import numpy as np
 
 sys.path.insert(0, os.path.join(os.path.dirname(__file__), "..", ".."))
 
+# Host-side plotting tool: pin the CPU backend before any jax-touching
+# import (the axon TPU plugin ignores JAX_PLATFORMS and hangs for minutes
+# when the relay is unreachable).
+from sparse_caption_tpu.utils.jax_setup import select_platform  # noqa: E402
+
+select_platform("cpu")
+
 
 def get_gauss(height: int = 6, width: int = 6) -> np.ndarray:
     """Toy 'weight' matrix: radial gaussian rescaled to [-1, 1]
