@@ -68,7 +68,10 @@ class TrainState(struct.PyTreeNode):
 
 
 class TrainingModule:
-    ALL_METRICS = ["Bleu_1", "Bleu_2", "Bleu_3", "Bleu_4", "METEOR", "ROUGE_L", "CIDEr", "SPICE"]
+    ALL_METRICS = [
+        "Bleu_1", "Bleu_2", "Bleu_3", "Bleu_4", "METEOR", "METEOR_py",
+        "ROUGE_L", "CIDEr", "SPICE",
+    ]
     SCST_SAMPLE = ["beam_search", "random"]
     SCST_BASELINE = ["greedy", "sample"]
 

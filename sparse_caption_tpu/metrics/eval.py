@@ -7,7 +7,11 @@ CIDEr / SPICE, return (overall scores, per-image scores, eval object).
 
 METEOR and SPICE run only when their jars are available (they are git-lfs
 blobs missing from this environment); the required core is the pure-Python
-BLEU/ROUGE/CIDEr stack.
+BLEU/ROUGE/CIDEr stack. ``METEOR_py`` (``metrics/meteor_py.py``) is a
+jar-free Meteor 1.5 reimplementation always reported under its own key:
+exact+stem stages by default (a documented lower bound on official
+METEOR), all four stages when the jar's language data is supplied via
+``SPARSE_CAPTION_METEOR_DATA``.
 """
 
 from __future__ import annotations
@@ -17,13 +21,17 @@ from collections import defaultdict
 from typing import Dict, List, Tuple
 
 from sparse_caption_tpu.metrics import meteor as meteor_mod
+from sparse_caption_tpu.metrics import meteor_py
 from sparse_caption_tpu.metrics import spice as spice_mod
 from sparse_caption_tpu.metrics.bleu import compute_bleu
 from sparse_caption_tpu.metrics.cider import compute_cider
 from sparse_caption_tpu.metrics.ptb_tokenizer import ptb_tokenize
 from sparse_caption_tpu.metrics.rouge import compute_rouge
 
-ALL_METRICS = ["Bleu_1", "Bleu_2", "Bleu_3", "Bleu_4", "METEOR", "ROUGE_L", "CIDEr", "SPICE"]
+ALL_METRICS = [
+    "Bleu_1", "Bleu_2", "Bleu_3", "Bleu_4", "METEOR", "METEOR_py",
+    "ROUGE_L", "CIDEr", "SPICE",
+]
 
 
 def load_annotations(ann_file: str) -> Dict[int, List[dict]]:
@@ -69,6 +77,15 @@ def evaluate_captions(gts_raw: Dict[int, List[dict]], res_raw: Dict[int, List[di
         # explicit marker rather than a silently absent key, so downstream
         # score JSONs distinguish "not run" from "score of 0"
         scores["METEOR"] = "skipped (jar unavailable)"
+    # pure-Python Meteor 1.5 engine (metrics/meteor_py.py) — always
+    # reported under its own key: with the jar's language data supplied it
+    # reproduces the four-stage scorer; exact+stem-only (the default here)
+    # is a documented lower bound on official METEOR, so it never
+    # impersonates the "METEOR" key
+    mpy_mean, mpy_per = meteor_py.MeteorPy().compute_score(gts_tok, res_tok)
+    scores["METEOR_py"] = mpy_mean
+    for idx, i in enumerate(ids):
+        per_image[i]["METEOR_py"] = float(mpy_per[idx])
     if spice_mod.is_available():
         s_mean, s_per = spice_mod.Spice().compute_score(gts_tok, res_tok)
         scores["SPICE"] = s_mean

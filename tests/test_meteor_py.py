@@ -1,0 +1,200 @@
+"""Pure-Python METEOR 1.5 engine (metrics/meteor_py.py) + the
+self-contained Snowball English stemmer it matches on.
+
+No jar oracle exists in this environment (the reference's meteor-1.5.jar
+is a missing git-lfs blob, no `java`), so coverage is: hand-derived
+values from the documented scoring equations, the scorer's structural
+properties (identity, asymmetry, order penalty, micro-aggregation), the
+data-file stages, and a differential test of the stemmer against NLTK's
+Snowball implementation over every word in the repo fixtures.
+"""
+
+import math
+import os
+
+import pytest
+
+from sparse_caption_tpu.metrics.meteor_py import (
+    ALPHA, BETA, GAMMA, MeteorData, MeteorPy, normalize,
+)
+from sparse_caption_tpu.metrics.snowball_en import stem
+
+# ------------------------------------------------------------------ stemmer
+
+
+def test_stemmer_known_vectors():
+    # spec-exercising pairs (exceptions, 1a/1b/1c, region logic)
+    vectors = {
+        "caresses": "caress", "ties": "tie", "cries": "cri",
+        "agreed": "agre", "feed": "feed", "plastered": "plaster",
+        "motoring": "motor", "sing": "sing", "running": "run",
+        "hoping": "hope", "hopped": "hop", "relational": "relat",
+        "generously": "generous", "organization": "organ",
+        "skis": "ski", "skies": "sky", "dying": "die", "lying": "lie",
+        "early": "earli", "only": "onli", "news": "news", "bias": "bias",
+        "inning": "inning", "proceed": "proceed", "exceed": "exceed",
+        "cats": "cat", "happily": "happili", "conditional": "condit",
+        "beautiful": "beauti", "beautifully": "beauti",
+    }
+    for w, expect in vectors.items():
+        assert stem(w) == expect, f"{w}: {stem(w)} != {expect}"
+
+
+def test_stemmer_positional_r2_semantics():
+    # The official Java englishStemmer (what the METEOR jar runs) keeps
+    # R1/R2 as fixed cursors on the evolving word, so the -ization ->
+    # -ize replacement leaves the final e inside R2 and step 5 deletes
+    # it. NLTK's string-based region bookkeeping loses the region here
+    # ("realization" -> "realize") — we follow the Java semantics.
+    assert stem("realization") == "realiz"
+    assert stem("ionization") == "ioniz"
+
+
+def test_stemmer_differential_vs_nltk():
+    nltk = pytest.importorskip("nltk")
+    from nltk.stem.snowball import SnowballStemmer
+
+    ns = SnowballStemmer("english")
+    # every caption word in the test fixtures + a morphology-heavy list
+    import glob
+    import json
+    import re
+
+    words = set(
+        """a man riding his bicycle down the street women children walking
+        dogs running quickly jumped happily carrying umbrellas standing
+        tables plates containing sliced vegetables skateboarder performing
+        tricks generalization nationalization modernization organization
+        utilized maximizes summarization activated effectiveness hopeless
+        carefully believed luxuriously adjustable replacement dependent
+        inference conspiracies abilities probable controllable""".split()
+    )
+    fdir = os.path.join(os.path.dirname(__file__), "fixtures")
+    for p in glob.glob(os.path.join(fdir, "**", "*.json"), recursive=True):
+        try:
+            with open(p) as f:
+                words.update(re.findall(r"[a-z]{3,}", f.read().lower()))
+        except OSError:
+            continue
+    # the one word class where NLTK deviates from the Java reference
+    known_nltk_bugs = {"realization", "ionization", "ionizer"}
+    mismatches = {
+        w for w in words if w not in known_nltk_bugs and stem(w) != ns.stem(w)
+    }
+    assert not mismatches, sorted(mismatches)[:20]
+
+
+# ------------------------------------------------------------------- scorer
+
+
+def _m(data=None):
+    return MeteorPy(data or MeteorData())
+
+
+def test_identical_segment_scores_one():
+    score, per = _m().compute_score({0: ["a cat sits on the mat"]}, {0: ["a cat sits on the mat"]})
+    assert score == 1.0 and per == [1.0]
+
+
+def test_hand_derived_partial_overlap():
+    # hyp "the cat sat" / ref "the cat": P=2/3, R=1,
+    # Fmean = (2/3)/(.85*2/3+.15) = .93023; chunks=1, avg_matches=2,
+    # pen = .6*(1/2)^.2 = .52233; score = .93023*.47767 = .44434
+    score, _ = _m().compute_score({0: ["the cat"]}, {0: ["the cat sat"]})
+    fmean = (2 / 3) / (ALPHA * 2 / 3 + (1 - ALPHA))
+    pen = GAMMA * 0.5 ** BETA
+    assert math.isclose(score, fmean * (1 - pen), rel_tol=1e-12)
+    # swapped roles: P=1, R=2/3 — METEOR is recall-weighted so this is lower
+    swapped, _ = _m().compute_score({0: ["the cat sat"]}, {0: ["the cat"]})
+    assert swapped < score
+
+
+def test_stem_stage_weight():
+    # "cats" vs "cat" matches only via the stem stage (weight .6):
+    # P=R=.6, Fmean=.6; full contiguous coverage -> no penalty
+    score, _ = _m().compute_score({0: ["cat"]}, {0: ["cats"]})
+    assert math.isclose(score, 0.6, rel_tol=1e-12)
+
+
+def test_disjoint_scores_zero():
+    assert _m().compute_score({0: ["x y z"]}, {0: ["d e f"]})[0] == 0.0
+
+
+def test_word_order_penalised():
+    gts = {0: ["the black cat sat on the red mat"]}
+    perm, _ = _m().compute_score(gts, {0: ["mat red the on sat cat black the"]})
+    assert 0 < perm < 1.0
+
+
+def test_best_reference_selected():
+    gts = {0: ["a dog runs", "a cat sits on the mat"]}
+    score, _ = _m().compute_score(gts, {0: ["a cat sits on the mat"]})
+    assert score == 1.0
+
+
+def test_corpus_is_micro_aggregated():
+    # the corpus score comes from SUMMED sufficient statistics (the jar's
+    # EVAL semantics), not the mean of segment scores
+    gts = {0: ["the cat sat"], 1: ["a b c d e f g h"]}
+    res = {0: ["the cat"], 1: ["a b c d e f g h"]}
+    m = _m()
+    corpus, per = m.compute_score(gts, res)
+    assert not math.isclose(corpus, sum(per) / len(per), rel_tol=1e-6)
+    agg = m.score_segment(res[0][0], gts[0]) + m.score_segment(res[1][0], gts[1])
+    assert math.isclose(corpus, agg.score(), rel_tol=1e-12)
+
+
+def test_function_word_list_downweights():
+    # with "the"/"on" as function words (delta=.75), missing them costs
+    # less than missing content words
+    data = MeteorData(function_words=frozenset({"the", "on"}))
+    gts = {0: ["the cat sat on the mat"]}
+    miss_func, _ = MeteorPy(data).compute_score(gts, {0: ["cat sat mat"]})
+    miss_content, _ = MeteorPy(data).compute_score(gts, {0: ["the on the"]})
+    assert miss_func > miss_content
+    # and relative to the no-list default, dropping function words hurts less
+    base_miss_func, _ = _m().compute_score(gts, {0: ["cat sat mat"]})
+    assert miss_func > base_miss_func
+
+
+def test_synonym_stage():
+    data = MeteorData(synonyms={"cat": frozenset({7}), "feline": frozenset({7})})
+    score, _ = MeteorPy(data).compute_score({0: ["feline"]}, {0: ["cat"]})
+    assert math.isclose(score, 0.8, rel_tol=1e-12)  # stage weight .8, full coverage
+    assert _m().compute_score({0: ["feline"]}, {0: ["cat"]})[0] == 0.0
+
+
+def test_paraphrase_stage_multiword():
+    data = MeteorData(
+        paraphrases={("sat", "down"): 3, ("sat",): 3}, max_paraphrase_len=2
+    )
+    score, _ = MeteorPy(data).compute_score({0: ["he sat down"]}, {0: ["he sat"]})
+    base, _ = _m().compute_score({0: ["he sat down"]}, {0: ["he sat"]})
+    assert score > base  # the two-word span matches the one-word phrase
+
+
+def test_data_dir_loading(tmp_path):
+    (tmp_path / "function.words").write_text("the\non\n")
+    (tmp_path / "synonyms.txt").write_text("cat feline\nsofa couch settee\n")
+    (tmp_path / "paraphrases.txt").write_text("sat down ||| sat\n")
+    data = MeteorData.load(str(tmp_path))
+    assert "the" in data.function_words
+    assert data.synonyms["sofa"] & data.synonyms["couch"]
+    assert ("sat", "down") in data.paraphrases and data.max_paraphrase_len == 2
+    score, _ = MeteorPy(data).compute_score({0: ["couch"]}, {0: ["sofa"]})
+    assert score == pytest.approx(0.8)
+
+
+def test_normalize_splits_punctuation():
+    assert normalize("A man, riding.") == ["a", "man", ",", "riding", "."]
+
+
+def test_eval_driver_emits_meteor_py():
+    from sparse_caption_tpu.metrics.eval import evaluate_captions
+
+    gts = {1: [{"caption": "a cat sits on the mat"}], 2: [{"caption": "a dog runs"}]}
+    res = {1: [{"caption": "a cat sits on the mat"}], 2: [{"caption": "a dog runs"}]}
+    scores, per_image = evaluate_captions(gts, res)
+    assert scores["METEOR"] == "skipped (jar unavailable)"
+    assert scores["METEOR_py"] == pytest.approx(1.0)
+    assert per_image[1]["METEOR_py"] == pytest.approx(1.0)
