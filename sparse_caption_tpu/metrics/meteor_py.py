@@ -65,20 +65,23 @@ class MeteorData:
     ``synonyms``: word -> frozenset of synset ids (from the jar's
     ``synonym/english`` files; any file of whitespace-separated synonym
     groups, one group per line, works).
-    ``paraphrases``: canonical-phrase -> group id mapping built from
-    lines ``phrase1 ||| phrase2`` (the jar's paraphrase-en table).
+    ``paraphrases``: phrase -> frozenset of line ids for every
+    ``phrase1 ||| phrase2`` line the phrase appears on (the jar's
+    paraphrase-en table); two phrases paraphrase-match iff they share a
+    line id, so a phrase recurring across many lines matches every
+    declared partner.
     """
 
     function_words: FrozenSet[str] = frozenset()
     synonyms: Dict[str, FrozenSet[int]] = field(default_factory=dict)
-    paraphrases: Dict[Tuple[str, ...], int] = field(default_factory=dict)
+    paraphrases: Dict[Tuple[str, ...], FrozenSet[int]] = field(default_factory=dict)
     max_paraphrase_len: int = 1
 
     @classmethod
     def load(cls, data_dir: str) -> "MeteorData":
         fw: set = set()
         syn: Dict[str, set] = {}
-        par: Dict[Tuple[str, ...], int] = {}
+        par: Dict[Tuple[str, ...], set] = {}
         max_len = 1
         fw_path = os.path.join(data_dir, "function.words")
         if os.path.isfile(fw_path):
@@ -99,12 +102,12 @@ class MeteorData:
                     a, b = line.split("|||")[:2]
                     for phrase in (tuple(a.split()), tuple(b.split())):
                         if phrase:
-                            par[phrase] = par.get(phrase, gid)
+                            par.setdefault(phrase, set()).add(gid)
                             max_len = max(max_len, len(phrase))
         return cls(
             function_words=frozenset(fw),
             synonyms={w: frozenset(s) for w, s in syn.items()},
-            paraphrases=par,
+            paraphrases={p: frozenset(s) for p, s in par.items()},
             max_paraphrase_len=max_len,
         )
 
@@ -136,12 +139,12 @@ def _find_matches(hyp: Sequence[str], ref: Sequence[str], data: MeteorData) -> L
         for i in range(len(hyp)):
             for li in range(1, min(L, len(hyp) - i) + 1):
                 hp = data.paraphrases.get(tuple(hyp[i : i + li]))
-                if hp is None:
+                if not hp:
                     continue
                 for j in range(len(ref)):
                     for lj in range(1, min(L, len(ref) - j) + 1):
                         rp = data.paraphrases.get(tuple(ref[j : j + lj]))
-                        if rp == hp:
+                        if rp and rp & hp:
                             key = (i, li, j, lj)
                             best[key] = min(best.get(key, 9), 3)
     return [(i, li, j, lj, s) for (i, li, j, lj), s in best.items()]

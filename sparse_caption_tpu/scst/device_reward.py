@@ -180,7 +180,6 @@ def build_ref_pack(gts: List[List[str]], df: Dict, ref_len: float,
     lo = np.zeros((b, r_max, l_max), np.uint32)
     val = np.zeros((b, r_max, l_max), np.float32)
     cnt = np.zeros((b, r_max, l_max), np.float32)  # raw tf (BLEU clipping)
-    gn = np.zeros((b, r_max, l_max), np.int32)
     norms = np.zeros((b, r_max, N_GRAMS), np.float32)
     lens = np.zeros((b, r_max), np.float32)
     wlens = np.zeros((b, r_max), np.int32)  # word counts (BLEU closest reflen)
@@ -208,7 +207,7 @@ def build_ref_pack(gts: List[List[str]], df: Dict, ref_len: float,
                 dfv = math.log(max(1.0, float(df.get(gram, 0.0))))
                 n = len(gram) - 1
                 v = float(tf) * (ref_len - dfv)
-                hi[i, r, j], lo[i, r, j], val[i, r, j], gn[i, r, j] = khi, klo, v, n
+                hi[i, r, j], lo[i, r, j], val[i, r, j] = khi, klo, v
                 cnt[i, r, j] = float(tf)
                 norm[n] += v * v
                 if n == 0:
@@ -218,7 +217,9 @@ def build_ref_pack(gts: List[List[str]], df: Dict, ref_len: float,
             norms[i, r] = [math.sqrt(x) for x in norm]
             lens[i, r] = length
             wlens[i, r] = wlen
-    return {"hi": hi, "lo": lo, "val": val, "cnt": cnt, "n": gn, "norms": norms,
+    # no per-gram order array is needed on device: the disjoint per-order
+    # key ranges (_pack) make cross-order collisions impossible
+    return {"hi": hi, "lo": lo, "val": val, "cnt": cnt, "norms": norms,
             "lens": lens, "wlens": wlens, "ref_valid": ref_valid, "n_refs": n_refs}
 
 
@@ -284,7 +285,7 @@ def make_reward_device_fn(table: DfTable, eos_id: int = 3, pad_id: int = 0,
         hit = (thi == ghi[:, None]) & (tlo == glo[:, None]) & ((thi | tlo) != _EMPTY)
         return jnp.sum(jnp.where(hit, tbl["val"][idx], 0.0), axis=1)
 
-    def _score_one(ids, tbl, rhi, rlo, rval, rcnt, rn, rnorms, rlens, rwlens,
+    def _score_one(ids, tbl, rhi, rlo, rval, rcnt, rnorms, rlens, rwlens,
                    rvalid, n_refs):
         ghi, glo, gn, gvalid, length = _grams(ids)
         eq = (ghi[:, None] == ghi[None, :]) & (glo[:, None] == glo[None, :])
@@ -334,11 +335,11 @@ def make_reward_device_fn(table: DfTable, eos_id: int = 3, pad_id: int = 0,
     def score(ids, img_idx, tbl, pack):
         gather = lambda a: a[img_idx]  # noqa: E731 — (N, R, ...) per item
         return jax.vmap(
-            lambda s, rhi, rlo, rval, rcnt, rn, rnorms, rlens, rwlens, rvalid, nr:
-            _score_one(s, tbl, rhi, rlo, rval, rcnt, rn, rnorms, rlens, rwlens,
+            lambda s, rhi, rlo, rval, rcnt, rnorms, rlens, rwlens, rvalid, nr:
+            _score_one(s, tbl, rhi, rlo, rval, rcnt, rnorms, rlens, rwlens,
                        rvalid, nr)
         )(ids, gather(pack["hi"]), gather(pack["lo"]), gather(pack["val"]),
-          gather(pack["cnt"]), gather(pack["n"]), gather(pack["norms"]),
+          gather(pack["cnt"]), gather(pack["norms"]),
           gather(pack["lens"]), gather(pack["wlens"]),
           gather(pack["ref_valid"]), gather(pack["n_refs"]))
 
@@ -356,5 +357,8 @@ def leave_one_out_baseline(sc, spi: int):
     per-item mean of the image's OTHER samples. ``sc`` is (B*spi,)."""
     import jax.numpy as jnp
 
+    # spi is static under jit, so this fails at trace time, not with
+    # silent NaN rewards (the host formula has the same 1/(spi-1))
+    assert spi >= 2, f"sample-mean baseline needs >=2 samples/image, got {spi}"
     sums = jnp.sum(sc.reshape(-1, spi), axis=-1)
     return (jnp.repeat(sums, spi) - sc) / (spi - 1)

@@ -166,11 +166,26 @@ def test_synonym_stage():
 
 def test_paraphrase_stage_multiword():
     data = MeteorData(
-        paraphrases={("sat", "down"): 3, ("sat",): 3}, max_paraphrase_len=2
+        paraphrases={("sat", "down"): frozenset({3}), ("sat",): frozenset({3})},
+        max_paraphrase_len=2,
     )
     score, _ = MeteorPy(data).compute_score({0: ["he sat down"]}, {0: ["he sat"]})
     base, _ = _m().compute_score({0: ["he sat down"]}, {0: ["he sat"]})
     assert score > base  # the two-word span matches the one-word phrase
+
+
+def test_paraphrase_pairs_match_across_shared_phrases(tmp_path):
+    # a phrase appearing on several table lines must match each declared
+    # partner — phrase->line-id-set with intersection, not first-line-wins
+    (tmp_path / "paraphrases.txt").write_text(
+        "car ||| automobile\nautomobile ||| vehicle\n"
+    )
+    data = MeteorData.load(str(tmp_path))
+    m = MeteorPy(data)
+    assert m.compute_score({0: ["automobile"]}, {0: ["vehicle"]})[0] == pytest.approx(0.6)
+    assert m.compute_score({0: ["automobile"]}, {0: ["car"]})[0] == pytest.approx(0.6)
+    # car/vehicle are NOT declared as a pair on any line (no transitive closure)
+    assert m.compute_score({0: ["car"]}, {0: ["vehicle"]})[0] == 0.0
 
 
 def test_data_dir_loading(tmp_path):
