@@ -16,6 +16,7 @@ Adds to the base TrainingModule:
 
 from __future__ import annotations
 
+import functools
 import logging
 import os
 import jax
@@ -63,10 +64,27 @@ class PruneTrainingModule(TrainingModule):
             self.state = self.state.replace(masks=new_masks)
             logger.info("one-shot pruned to %.4f", self.sparsity_target)
         if pt in LOTTERY:
-            # reset weights to the init snapshot, keep masks (:108-116)
-            init = load_pytree(self.checkpoint_path.format("init"))
+            # reset weights to the DENSE run's init snapshot, keep the
+            # just-computed masks (:108-116 — the reference loads
+            # ``os.path.join(config.start_from, "model_init.pth")``: the
+            # lottery ticket rewinds to the weights the winning dense run
+            # STARTED from, not to this run's fresh random init)
+            start_from = config.get("start_from")
+            if start_from and os.path.isdir(start_from):
+                init_path = os.path.join(start_from, "model_init.msgpack")
+                if not os.path.isfile(init_path):
+                    raise FileNotFoundError(
+                        f"lottery pruning needs the dense run's init snapshot: {init_path}")
+            else:
+                # reference parity: pruning without --start_from means
+                # pruning a randomly initialized model (it warns the same
+                # way); the only init snapshot that exists is this run's
+                logger.warning("lottery without --start_from: rewinding to this "
+                               "run's own random init (untrained dense model)")
+                init_path = self.checkpoint_path.format("init")
+            init = load_pytree(init_path)
             self.state = self.state.replace(params=jax.tree.map(jnp.asarray, init["params"]))
-            logger.info("lottery: weights reset to init snapshot")
+            logger.info("lottery: weights reset to init snapshot %s", init_path)
         if pt in (MASK_FREEZE, LOTTERY_MASK_FREEZE):
             assert config.get("start_from"), f"{pt} requires --start_from with existing masks"
 
@@ -116,10 +134,6 @@ class PruneTrainingModule(TrainingModule):
                 # (one jitted call, reused across the schedule) — no
                 # params round trip to the host per update
                 if self._device_mask_update is None:
-                    import functools
-
-                    import jax
-
                     self._device_mask_update = jax.jit(functools.partial(
                         prune_engine.update_masks_once_device,
                         mask_type=self.prune_type, freeze_scope=self.freeze_scope))
@@ -148,6 +162,9 @@ class PruneTrainingModule(TrainingModule):
         s_all, _, _ = prune_engine.mask_sparsity(self.state.masks, self.prune_type)
         self.tb.add_scalar("prune/sparsity/active", float(s_act), self.global_step)
         self.tb.add_scalar("prune/sparsity/all", float(s_all), self.global_step)
+        # per-tensor curves, as the reference logs (:196-197)
+        for name, s in sorted(per.items()):
+            self.tb.add_scalar(f"prune/sparsity/{name}", float(s), self.global_step)
         self.tb.add_scalar("prune/all_mask_avg", float(prune_engine.mask_avg(self.state.masks)), self.global_step)
         super().checkpoint_and_eval()
 

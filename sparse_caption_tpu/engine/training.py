@@ -122,8 +122,14 @@ class TrainingModule:
 
             self.mesh = make_mesh(config.mesh_shape)
             dp = self.mesh.shape["data"]
-            assert config.batch_size % dp == 0, (
-                f"batch_size {config.batch_size} must divide by data-parallel size {dp}")
+            # validate EVERY batch size the run will shard up front —
+            # shard_batch fails on a non-divisible leading dim, and an
+            # eval-only violation would otherwise surface hours in, at the
+            # first checkpoint_and_eval
+            bse = int(config.get("batch_size_eval", config.batch_size))
+            for name, bs in (("batch_size", config.batch_size), ("batch_size_eval", bse)):
+                assert bs % dp == 0, (
+                    f"{name} {bs} must divide by data-parallel size {dp}")
             logger.info("mesh: %s", dict(self.mesh.shape))
         self.state: Optional[TrainState] = None
         self.global_step = 0
@@ -251,6 +257,16 @@ class TrainingModule:
         def probe_batch(split):
             records = self.data.get_split(split, generation_mode=True)
             bs = min(int(self.config.batch_size), max(len(records), 1))
+            if self.mesh is not None:
+                # the probe goes through shard_batch too: keep its leading
+                # dim a dp multiple, with a clear error instead of an
+                # opaque device_put failure on tiny splits
+                dp = self.mesh.shape["data"]
+                if bs < dp:
+                    raise ValueError(
+                        f"split '{split}' has {len(records)} records — fewer than the "
+                        f"data-parallel size {dp}; cannot build a sharded shape probe")
+                bs = (bs // dp) * dp
             return next(iter(BatchLoader(records, self.batcher, bs, train=True,
                                          seed=int(self.config.get("seed", 8888)), prefetch=0)))
 
@@ -413,7 +429,11 @@ class TrainingModule:
         opt.setdefault("max_seq_length", int(self.config.get("max_seq_length", 18)) - 1)
 
         @jax.jit
-        def decode(variables, inputs, rng):
+        def decode(variables, inputs, rng, step=0):
+            # per-batch key derived IN-JIT (an eager fold_in per batch
+            # would be a ~3 ms relay dispatch); without it, sampling eval
+            # would draw the identical random stream for every batch
+            rng = jax.random.fold_in(rng, step)
             enc_kwargs = {k: v for k, v in inputs.items() if k != "seqs"}
             memory = model.apply(variables, **enc_kwargs, method="encode")
             return generate(model, variables, memory, opt, rng=rng)
@@ -943,11 +963,11 @@ class TrainingModule:
         t0 = time.perf_counter()
         predictions, image_paths = [], []
         eval_key = jax.random.PRNGKey(0)  # hoisted: one eager key op, not one per batch
-        for batch in loader:
+        for batch_idx, batch in enumerate(loader):
             inputs = self._model_inputs(batch, with_seqs=False)
             if cast_inputs is not None:
                 inputs = cast_inputs(inputs)
-            seq, _ = decode(variables, inputs, eval_key)
+            seq, _ = decode(variables, inputs, eval_key, batch_idx)
             seq = np.asarray(seq)[: batch["batch_valid"]]
             predictions += [self.tokenizer.decode(seq[i, 0]) for i in range(seq.shape[0])]
             image_paths += batch["image_paths"][: batch["batch_valid"]]

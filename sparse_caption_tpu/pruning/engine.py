@@ -271,7 +271,7 @@ def gradual_sparsity_target(
     t, t0, dt = current_step, start_step, prune_frequency
     tn = start_step + prune_frequency * prune_steps
     assert dt > 0 and prune_steps > 0
-    in_range = t >= t0 and (t <= tn or tn < 0)
+    in_range = t0 <= t <= tn
     if not (in_range and (t - t0) % dt == 0):
         return None
     p = min(1.0, max(0.0, (t - t0) / (tn - t0)))

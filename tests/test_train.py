@@ -212,6 +212,47 @@ def test_train_prune_lottery(fixture_dataset, tmp_path):
     assert abs(float(s) - 0.5) < 0.05
 
 
+def test_lottery_rewinds_to_start_from_init(fixture_dataset, tmp_path):
+    """Lottery-ticket semantics (reference train_n_prune_transformer.py:108-116):
+    masks come from the start_from run's TRAINED weights, but params rewind
+    to that run's ``model_init`` snapshot — NOT to the prune run's own
+    fresh random init."""
+    import jax
+    import numpy as np
+
+    from sparse_caption_tpu.config import Config
+    from sparse_caption_tpu.engine.checkpoints import load_pytree
+    from sparse_caption_tpu.engine.prune_training import PruneTrainingModule
+
+    dense_dir = tmp_path / "dense"
+    run_train(tiny_args(fixture_dataset, dense_dir, "up_down_lstm", TINY_UPDOWN))
+
+    argv = tiny_args(fixture_dataset, tmp_path / "lottery", "up_down_lstm_prune",
+                     TINY_UPDOWN + ["--prune_type", "lottery_mag_blind",
+                                    "--prune_sparsity_target", "0.5",
+                                    "--start_from", str(dense_dir),
+                                    "--seed", "1234"])  # different init than the dense run
+    module = PruneTrainingModule(Config(**vars(parse_opt(argv, include_pruning=True))))
+    module.prepare()
+    module.init_state()
+    module.save_checkpoint("init")
+    own_init = jax.tree.map(np.asarray, module.state.params)
+    module.maybe_load_checkpoint()
+    module.post_restore_hook()
+
+    dense_init = load_pytree(str(dense_dir / "model_init.msgpack"))["params"]
+    got, want, own = (jax.tree.leaves(jax.tree.map(np.asarray, t))
+                      for t in (module.state.params, dense_init, own_init))
+    assert all(np.array_equal(g, w) for g, w in zip(got, want)), \
+        "lottery params must equal the dense run's init snapshot"
+    assert any(not np.array_equal(g, o) for g, o in zip(got, own)), \
+        "lottery params must NOT be this run's own random init"
+    from sparse_caption_tpu.pruning.engine import mask_sparsity
+
+    s, _, _ = mask_sparsity(module.state.masks, "lottery_mag_blind")
+    assert abs(float(s) - 0.5) < 0.05  # masks kept from the trained weights
+
+
 def test_train_scst_random_sample_mean(fixture_dataset, tmp_path):
     """1-epoch SCST run from scratch (random sampling, sample-mean baseline)."""
     argv = tiny_args(fixture_dataset, tmp_path, "transformer",
