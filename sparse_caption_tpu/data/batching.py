@@ -133,23 +133,50 @@ class BatchLoader:
         q: queue.Queue = queue.Queue(maxsize=self.prefetch)
         sentinel = object()
         err: List[BaseException] = []
+        stop = threading.Event()
 
         def producer():
             try:
                 for batch in self._batches():
-                    q.put(batch)
+                    # bounded put that notices consumer abandonment: a
+                    # consumer that breaks mid-epoch closes the generator,
+                    # which sets `stop` — a plain q.put would block this
+                    # thread forever holding full feature batches
+                    while not stop.is_set():
+                        try:
+                            q.put(batch, timeout=0.1)
+                            break
+                        except queue.Full:
+                            continue
+                    if stop.is_set():
+                        return
             except BaseException as e:  # propagate loader errors to consumer
                 err.append(e)
             finally:
-                q.put(sentinel)
+                while True:  # sentinel put that also respects abandonment
+                    try:
+                        q.put(sentinel, timeout=0.1)
+                        break
+                    except queue.Full:
+                        if stop.is_set():
+                            break
 
         t = threading.Thread(target=producer, daemon=True)
         t.start()
-        while True:
-            item = q.get()
-            if item is sentinel:
-                break
-            yield item
-        t.join()
-        if err:
-            raise err[0]
+        try:
+            while True:
+                item = q.get()
+                if item is sentinel:
+                    break
+                yield item
+            t.join()
+            if err:
+                raise err[0]
+        finally:
+            # runs on normal completion AND on GeneratorExit/consumer error;
+            # the epoch counter advances either way so a partially-consumed
+            # epoch is not replayed with the identical shuffle order
+            if t.is_alive():
+                stop.set()
+                self._epoch += 1
+                t.join(timeout=5.0)

@@ -124,7 +124,10 @@ class KarpathyDataset(ABC):
             return  # existing tokenizer dir wins (resume / start_from)
         os.makedirs(tokenizer_dir, exist_ok=True)
         with open(train_txt, "w") as f:
-            f.write("\n".join(d["caption"] for d in self.data["train"]))
+            # one caption per LINE: raw COCO captions (--retokenize mode)
+            # can contain embedded newlines, which would split a caption
+            # into two bogus training sentences for the tokenizer trainers
+            f.write("\n".join(" ".join(d["caption"].split()) for d in self.data["train"]))
 
     def annotation_file_path(self) -> str:
         """COCO-style GT annotation JSON used by the metric stack."""

@@ -381,6 +381,7 @@ class BoxMultiHeadAttention(nn.Module):
 
     def setup(self):
         assert self.d_model % self.num_heads == 0
+        assert self.share_att in (None, "kv", "qk"), f"invalid share_att {self.share_att}"
         dense = lambda name: MaskedDense(self.d_model, mask_cfg=self.mask_cfg, name=name)  # noqa: E731
         self.q_proj = dense("q_proj")
         if self.share_att == "kv":
@@ -420,8 +421,13 @@ class BoxMultiHeadAttention(nn.Module):
         geo = box_relational_embedding(boxes.astype(jnp.float32), dim_g=self.dim_g,
                                        trigonometric=self.trigonometric_embedding)
         w_g = nn.relu(self.wg(geo.astype(x.dtype), train))  # (B, R, R, h)
-        # geometry log/clamp math stays f32; cast the bias to the attention
-        # dtype so an f32 `boxes` input doesn't re-promote a bf16 encoder
+        # the wg projection and log/clamp run in the COMPUTE dtype on
+        # purpose: w_g is O(1)-scaled, so bf16 log costs only ~1e-2 bias
+        # noise (harmless under softmax), while f32 here would double the
+        # HBM traffic of a (B, R, R, h) tensor inside the bandwidth-bound
+        # encoder. Only the trig args above are precision-critical. The
+        # trailing cast guards the f32-geo case (f32 `boxes` input must not
+        # re-promote a bf16 encoder).
         log_wg = jnp.log(jnp.maximum(w_g, 1e-6)).transpose(0, 3, 1, 2).astype(q.dtype)  # (B, h, R, R)
 
         drop = (lambda p: self.attn_dropout(p, deterministic=False)) if train else None

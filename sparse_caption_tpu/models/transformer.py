@@ -42,6 +42,9 @@ def _unique_layer_plan(num_layers: int, share_layer: Optional[Sequence[int]]) ->
     """(n_unique, assignment) for layer sharing (reference transformer.py:133-142)."""
     if share_layer:
         share_layer = tuple(int(i) for i in share_layer)
+        assert len(share_layer) == num_layers, (
+            f"share_layer has {len(share_layer)} entries for num_layers={num_layers}; "
+            "a short list would silently change the model depth")
         n_unique = len(set(share_layer))
         assert set(share_layer) == set(range(n_unique)), f"share_layer must use indices 0..{n_unique - 1}"
         return n_unique, share_layer
@@ -290,9 +293,22 @@ class Transformer(nn.Module):
         t_max = int(max_steps or (self.max_seq_length + 1))
         dk = self.d_model // self.num_heads
         layers, cross = [], []
+        proj = {}  # unique layer index -> projected cross K/V
         for i in self.dec_plan:
             layer = self.decoder_layers[i]
-            ck, cv = layer.project_memory_kv(memory, train)
+            if train:
+                # train-mode supermask draws a fresh Bernoulli mask per
+                # call: repeated slots of a shared layer must each draw,
+                # matching the reference's per-call module semantics
+                ck, cv = layer.project_memory_kv(memory, train)
+            else:
+                # share_layer slots reuse one projection: same params ->
+                # bit-identical K/V, so project once per UNIQUE layer
+                # (ACORT plan (0,)*6 would otherwise compute and carry six
+                # identical cross caches)
+                if i not in proj:
+                    proj[i] = layer.project_memory_kv(memory, train)
+                ck, cv = proj[i]
             entry = {"self_k": jnp.zeros((rows, self.num_heads, t_max, dk), ck.dtype)}
             if layer.self_attn.share_att != "kv":
                 entry["self_v"] = jnp.zeros((rows, self.num_heads, t_max, dk), ck.dtype)

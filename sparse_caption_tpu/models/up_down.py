@@ -10,9 +10,12 @@ TPU-native rebuild of the reference ``up_down_lstm``
   additive (tanh) soft attention with **masked renormalization** — softmax
   over all regions then mask-multiply + renorm (``att_model.py:283-313``);
   language LSTM input ``[att_result, h_att]`` (``att_model.py:317-345``)
-* XE unroll as ``lax.scan`` over time with scheduled sampling (``ss_prob``,
-  ``att_model.py:150-159``); the reference's all-pad early break is
-  subsumed by loss masking (static shapes)
+* XE unroll as a Python loop over the (static) T-1 time steps with
+  scheduled sampling (``ss_prob``, ``att_model.py:150-159``) — unrolled
+  HLO rather than ``lax.scan`` (T<=17 tiny LSTM steps; scan would shrink
+  the traced program at the cost of a scan carry, unmeasured); the
+  reference's all-pad early break is subsumed by loss masking (static
+  shapes)
 * LSTM cells use torch gate order (i, f, g, o) with masked weight matrices
   (reference ``MaskedLSTMCell``, ``pruning/masked_layer.py:178-211``)
 

@@ -94,6 +94,32 @@ def test_loader_reshuffles_each_epoch(prepared, fixture_dataset):
     assert e1 != e2 or len(e1) <= 1
 
 
+def test_loader_abandoned_mid_epoch_releases_prefetch_thread(prepared, fixture_dataset):
+    """Breaking out of a prefetching loader must not leak the producer
+    thread (it would block forever on the bounded queue) and must still
+    advance the epoch so the next pass gets a fresh shuffle order."""
+    import threading
+    import time
+
+    cfg, ds, tok = prepared
+    src = FeatureSource(**default_bu_dirs(fixture_dataset), max_regions=8, att_feat_size=16)
+    batcher = CaptionBatcher(cfg, tok, src)
+    loader = BatchLoader(ds.get_split("train"), batcher, batch_size=2, train=True, prefetch=1)
+    before = threading.active_count()
+    epoch0 = loader._epoch
+    for _ in loader:
+        break  # abandon mid-epoch (closes the generator on GC/del)
+    for _ in range(50):  # give the producer a moment to observe the stop
+        if threading.active_count() <= before:
+            break
+        time.sleep(0.1)
+    assert threading.active_count() <= before, "prefetch producer thread leaked"
+    assert loader._epoch == epoch0 + 1, "abandoned epoch must still advance the shuffle"
+    # and the loader remains fully usable afterwards
+    n = sum(1 for _ in loader)
+    assert n == len(loader)
+
+
 def test_feature_cache_hits(prepared, fixture_dataset):
     cache = FeatureCache(min_free_ram=0.0)
     src = FeatureSource(**default_bu_dirs(fixture_dataset), max_regions=8, att_feat_size=16, cache=cache)
