@@ -157,20 +157,31 @@ void* reward_scorer_new(double sigma, double ref_len) {
 
 void reward_scorer_free(void* handle) { delete static_cast<Scorer*>(handle); }
 
-// df ngrams: flat ids + per-ngram lengths + df values
-void reward_scorer_set_df(void* handle, const int32_t* flat_ids, const int8_t* lens,
-                          const double* values, int64_t count) {
+// df ngrams: flat ids + per-ngram lengths + df values.
+// Returns the number of REJECTED entries (len outside [1, kN]) so the
+// Python side can fail loudly — writing lens[i] > kN words would
+// overflow NgramKey::w (a df pickle built with n > 4 must error, as the
+// pure-Python path does).
+int64_t reward_scorer_set_df(void* handle, const int32_t* flat_ids, const int8_t* lens,
+                             const double* values, int64_t count) {
   auto* s = static_cast<Scorer*>(handle);
   s->df.clear();
   s->df.reserve(static_cast<size_t>(count) * 2);
   int64_t off = 0;
+  int64_t rejected = 0;
   for (int64_t i = 0; i < count; ++i) {
+    if (lens[i] < 1 || lens[i] > kN) {
+      off += lens[i];
+      ++rejected;
+      continue;
+    }
     NgramKey key{};
     key.len = lens[i];
     for (int j = 0; j < lens[i]; ++j) key.w[j] = flat_ids[off + j];
     off += lens[i];
     s->df[key] = values[i];
   }
+  return rejected;
 }
 
 // Score `num_items` hypotheses, each against its reference group.

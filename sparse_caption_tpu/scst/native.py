@@ -48,6 +48,7 @@ def _load_library() -> Optional[ctypes.CDLL]:
         np.ctypeslib.ndpointer(np.int32), np.ctypeslib.ndpointer(np.int8),
         np.ctypeslib.ndpointer(np.float64), ctypes.c_int64,
     ]
+    lib.reward_scorer_set_df.restype = ctypes.c_int64  # rejected-entry count
     lib.reward_score_batch.argtypes = [
         ctypes.c_void_p,
         np.ctypeslib.ndpointer(np.int32), np.ctypeslib.ndpointer(np.int64),
@@ -117,9 +118,13 @@ class NativeCaptionScorer:
             lens[i] = len(ngram)
             values[i] = float(v)
             flat_ids.extend(self._intern(w) for w in ngram)
-        self._lib.reward_scorer_set_df(
+        rejected = self._lib.reward_scorer_set_df(
             self._handle, np.asarray(flat_ids, np.int32), lens, values, len(df)
         )
+        if rejected:
+            raise ValueError(
+                f"df table contains {rejected} n-grams with order outside 1..4 "
+                "(CIDEr-D is defined over 1..4-grams; rebuild the df pickle)")
 
     def _encode(self, caption: str) -> List[int]:
         return [self._intern(w) for w in caption.split()]
@@ -161,15 +166,10 @@ class NativeCaptionScorer:
         for h in hyps:
             hyp_flat.extend(h)
             hyp_offsets.append(len(hyp_flat))
-        item_bounds = np.empty(len(hyps) + 1, np.int64)
-        # reward_score_batch expects per-item [start,end); encode as pairs via
-        # two arrays: reuse item_bounds[i], item_bounds[i+1] is NOT valid for
-        # shared groups, so we expand refs per item instead when groups overlap
+        # items can share a reference group, so the C ABI takes per-item
+        # (start, end) ref-index pairs packed adjacently: [s0, e0, s1, e1, ...]
         starts = [group_bounds[g][0] for g in item_ref_group]
         ends = [group_bounds[g][1] for g in item_ref_group]
-        # The C ABI takes a single offsets array [i]..[i+1]; since different
-        # items can share a group, pass per-item start array and derive end
-        # via a parallel convention: we pack (start, end) adjacent per item.
         item_ref_offsets = np.empty(2 * len(hyps), np.int64)
         item_ref_offsets[0::2] = starts
         item_ref_offsets[1::2] = ends
@@ -187,6 +187,7 @@ class NativeCaptionScorer:
         if baseline:
             sc_baseline = np.repeat(out[:num_baseline], spi)
         else:
+            assert spi >= 2, f"sample-mean baseline needs >=2 samples/image, got {spi}"
             sums = sc_sample.reshape(-1, spi).sum(-1)
             sc_baseline = (np.repeat(sums, spi) - sc_sample) / (spi - 1)
         return sc_sample, sc_baseline

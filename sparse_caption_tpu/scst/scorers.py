@@ -80,7 +80,10 @@ class CaptionScorer:
                 bleu.append(h, r)
             _, per_image = bleu.compute(option="closest")
             for k, w in enumerate(self.bleu_weight):
-                if w > 0:
+                # reference scorers.py:88-93 applies EVERY order's weight
+                # (including negatives) once any weight is positive; only
+                # exact zeros may be skipped
+                if w != 0:
                     total += np.asarray(per_image[k]) * w
 
         sc_sample = total[num_baseline:]
@@ -88,6 +91,7 @@ class CaptionScorer:
             sc_baseline = np.repeat(total[:num_baseline], spi)
         else:
             # leave-one-out mean over the sample set
+            assert spi >= 2, f"sample-mean baseline needs >=2 samples/image, got {spi}"
             sums = sc_sample.reshape(-1, spi).sum(-1)
             sc_baseline = (np.repeat(sums, spi) - sc_sample) / (spi - 1)
         return sc_sample, sc_baseline

@@ -10,6 +10,7 @@ run Config (reference ``tokenizer.py:300-310``).
 from __future__ import annotations
 
 import os
+import shutil
 from abc import ABC, abstractmethod
 from typing import List
 
@@ -96,11 +97,18 @@ class Tokenizer(ABC):
 
 
 def maybe_copy_from(start_from: str, artifact_name: str, dst_dir: str) -> str | None:
-    """Resolve a tokenizer artifact to reuse from another run dir
-    (parity: reference tokenizer.py:378-395 copies the .model on start_from)."""
+    """Copy a tokenizer artifact from another run dir into ``dst_dir``
+    (parity: reference tokenizer.py:378-395 copies the .model on
+    start_from). Returns the copied path, or None if there is nothing to
+    reuse."""
     if not start_from:
         return None
     if os.path.isfile(start_from):
         start_from = os.path.dirname(start_from)
     src = os.path.join(start_from, "tokenizer", artifact_name)
-    return src if os.path.isfile(src) else None
+    if not os.path.isfile(src):
+        return None
+    os.makedirs(dst_dir, exist_ok=True)
+    dst = os.path.join(dst_dir, artifact_name)
+    shutil.copy2(src, dst)
+    return dst

@@ -16,7 +16,6 @@ from __future__ import annotations
 import json
 import logging
 import os
-import shutil
 from collections import Counter
 from typing import Dict, List, Tuple
 
@@ -89,12 +88,8 @@ class BpeTokenizer(Tokenizer):
 
     def _train_or_load(self) -> None:
         if not os.path.isfile(self.vocab_path):
-            src = maybe_copy_from(self.config.get("start_from", ""), os.path.basename(self.vocab_path),
-                                  self.tokenizer_dir)
-            if src:
-                os.makedirs(self.tokenizer_dir, exist_ok=True)
-                shutil.copy2(src, self.vocab_path)
-            else:
+            if not maybe_copy_from(self.config.get("start_from", ""),
+                                   os.path.basename(self.vocab_path), self.tokenizer_dir):
                 self._train()
         with open(self.vocab_path) as f:
             data = json.load(f)

@@ -65,19 +65,21 @@ class NativeWordEncoder:
         assert is_available()
         self._lib = _LIB
         self._handle = self._lib.tok_new()
-        blob = "\x00".join(vocab).encode("utf-8")  # NUL never inside words
-        # offsets into the concatenated utf-8 words
+        # the C side consumes concatenated utf-8 words + offsets
         offsets = np.zeros(len(vocab) + 1, np.int64)
-        pos = 0
         enc = [w.encode("utf-8") for w in vocab]
         flat = b"".join(enc)
         for i, w in enumerate(enc):
             offsets[i + 1] = offsets[i] + len(w)
-        del blob, pos
         self._lib.tok_load_vocab(self._handle, flat, offsets, len(vocab))
 
     def encode_batch(self, captions: List[str], max_len: int,
                      bos: int = 2, eos: int = 3, unk: int = 1, pad: int = 0) -> np.ndarray:
+        # tokenizer.cc splits on space/tab/newline only; Python's
+        # str.split() splits on ALL whitespace (\r, \x0b, unicode spaces).
+        # Normalize here so both paths tokenize identically — the module
+        # contract is exact-same-output as the Python fallback.
+        captions = [" ".join(c.split()) for c in captions]
         enc = [c.encode("utf-8") for c in captions]
         flat = b"".join(enc)
         offsets = np.zeros(len(enc) + 1, np.int64)

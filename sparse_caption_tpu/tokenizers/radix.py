@@ -89,12 +89,21 @@ class RadixTokenizer(WordTokenizer):
     def encode(self, input_str: str, add_bos_eos: bool = True, max_seq_length: int = 30) -> List[int]:
         word_budget = (max_seq_length - 2) // self.tokens_per_word + 2 if max_seq_length > 0 else 0
         word_ids = self._encode_word_ids(self._split(input_str), add_bos_eos, word_budget)
-        return self._encode_radix(word_ids)
+        return self._cap(self._encode_radix(word_ids), max_seq_length)
 
     def encode_tokenized(self, input_list: List[str], add_bos_eos: bool = True, max_seq_length: int = 30) -> List[int]:
         word_budget = (max_seq_length - 2) // self.tokens_per_word + 2 if max_seq_length > 0 else 0
         word_ids = self._encode_word_ids(input_list, add_bos_eos, word_budget)
-        return self._encode_radix(word_ids)
+        return self._cap(self._encode_radix(word_ids), max_seq_length)
+
+    @staticmethod
+    def _cap(ids: List[int], max_seq_length: int) -> List[int]:
+        # hard cap in RADIX space (reference tokenizer.py:626-631): the word
+        # budget keeps most captions inside the limit, but a truncation
+        # that drops <eos> can still leave bos + budget words one digit
+        # over — the contract is len(ids) <= max_seq_length, not "callers
+        # re-truncate"
+        return ids[:max_seq_length] if max_seq_length > 0 else ids
 
     # ------------------------------------------------------------- decode
     def _decode_word_ids(self, radix_ids: List[int]) -> List[int]:

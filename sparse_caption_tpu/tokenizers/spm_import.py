@@ -88,13 +88,30 @@ def parse_sentencepiece_model(path: str) -> List[str]:
 
 def pieces_to_word_vocab(pieces: List[str]) -> List[str]:
     """SP pieces -> this framework's word vocab: strip the SP word-boundary
-    marker (U+2581) and map SP control names to the local special names."""
+    marker (U+2581) and map SP control names to the local special names.
+
+    Only word-level SP models import cleanly: stripping the marker must be
+    injective, because the word tokenizer maps string -> LAST id, so a
+    collision would silently re-map every earlier duplicate's embedding
+    row. Raises on duplicates (e.g. a subword model containing both
+    '▁dog' and 'dog') instead of corrupting ids."""
     vocab = []
     for p in pieces:
         if p in _SPECIAL_MAP:
             vocab.append(_SPECIAL_MAP[p])
         else:
             vocab.append(p.lstrip("▁"))
+    seen: dict = {}
+    dups = []
+    for i, w in enumerate(vocab):
+        if w in seen or not w:
+            dups.append((seen.get(w), i, w))
+        seen.setdefault(w, i)
+    if dups:
+        raise ValueError(
+            f"SentencePiece vocab collapses to duplicate/empty words after marker "
+            f"stripping (first few: {dups[:5]}): not a word-level model — import "
+            "it with the matching subword tokenizer instead")
     return vocab
 
 

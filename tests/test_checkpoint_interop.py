@@ -146,6 +146,14 @@ def test_spm_vocab_import_preserves_reference_ordering(tmp_path):
     vocab = pieces_to_word_vocab(pieces)
     assert vocab == ["<pad>", "<unk>", "<bos>", "<eos>", "a", "dog", "man"]
 
+    # a subword-style model whose pieces collapse after marker stripping
+    # must be rejected (the word tokenizer maps string -> LAST id, so a
+    # collision silently re-maps the earlier piece's embedding row)
+    import pytest
+
+    with pytest.raises(ValueError, match="duplicate"):
+        pieces_to_word_vocab(["<pad>", "<unk>", "<s>", "</s>", "▁dog", "dog"])
+
     run_dir = tmp_path / "run"
     write_word_vocab_artifact(vocab, str(run_dir / "tokenizer"))
     tok = WordTokenizer(Config(log_dir=str(run_dir), vocab_size=len(vocab)))

@@ -29,7 +29,13 @@ def df_path(tmp_path_factory):
     return path
 
 
-@pytest.mark.parametrize("bleu_weight", [[0, 0, 0, 0], [0, 0, 0, 1.0], [0.5, 0.3, 0.2, 1.0]])
+@pytest.mark.parametrize(
+    "bleu_weight",
+    # incl. a negative order weight: once any weight is positive the
+    # reference applies EVERY order's weight (scorers.py:88-93) — the
+    # python and native paths must agree on that, not drop negatives
+    [[0, 0, 0, 0], [0, 0, 0, 1.0], [0.5, 0.3, 0.2, 1.0], [1.0, 0, 0, -0.5]],
+)
 @pytest.mark.parametrize("use_baseline", [True, False])
 def test_native_matches_python(df_path, bleu_weight, use_baseline):
     py = CaptionScorer(df_path, 1.0, bleu_weight)

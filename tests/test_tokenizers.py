@@ -82,6 +82,18 @@ def test_radix_max_seq_is_in_radix_tokens(tiny_corpus, tmp_path):
     assert len(ids) <= 1 + (word_budget - 1) * tpw
 
 
+def test_radix_encode_never_exceeds_max_seq_length(tiny_corpus, tmp_path):
+    """Hard cap in radix space (reference tokenizer.py:626-631): the word
+    budget alone can leave bos + budget words one digit over the limit
+    when truncation drops eos."""
+    cfg = Config(log_dir=str(tmp_path), tokenizer_train_files=tiny_corpus, vocab_size=64, radix_base=8)
+    tok = get_tokenizer("radix")(cfg)
+    long = " ".join(["horse"] * 40)
+    for max_len in range(4, 30):
+        assert len(tok.encode(long, max_seq_length=max_len)) <= max_len
+        assert len(tok.encode_tokenized(long.split(), max_seq_length=max_len)) <= max_len
+
+
 def test_start_from_copies_vocab(tiny_corpus, tmp_path):
     cfg1 = Config(log_dir=str(tmp_path / "run1"), tokenizer_train_files=tiny_corpus, vocab_size=64)
     tok1 = get_tokenizer("word")(cfg1)
@@ -98,7 +110,12 @@ def test_encode_batch_matches_encode(tiny_corpus, tmp_path):
 
     cfg = Config(log_dir=str(tmp_path), tokenizer_train_files=tiny_corpus, vocab_size=64)
     tok = get_tokenizer("word")(cfg)
-    caps = ["a man riding a horse", "a zebra with unknown words", "", "a dog on a couch extra words beyond limit ok"]
+    caps = ["a man riding a horse", "a zebra with unknown words", "",
+            "a dog on a couch extra words beyond limit ok",
+            # non-space whitespace: str.split() handles these; the native
+            # path must normalize to match (tokenizer.cc splits on
+            # space/tab/newline only)
+            "a man\r\nriding\x0ba horse"]
     batch = tok.encode_batch(caps, 8)
     for i, c in enumerate(caps):
         ids = tok.encode(c, add_bos_eos=True, max_seq_length=8)
