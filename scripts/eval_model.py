@@ -66,10 +66,16 @@ def main():
 
     config = Config.load_config_json(args.log_dir)
     config.log_dir = args.log_dir
-    config.config_overwrite = True
+    # read-only: never rewrite the training run's config.json with the
+    # eval-time mutations below (stripped model name, decode overrides) —
+    # a later --resume_training must see the ORIGINAL config
+    config.config_save_skip = True
+    best_step = int(config.get("best_global_step", 0))  # prepare() resets it
     # eval of a pruned run loads the folded weights into the dense model
     # (reference eval strips `_prune`, train_n_prune_transformer.py:293-301)
-    if str(config.caption_model).endswith("_prune"):
+    was_prune = str(config.caption_model).endswith("_prune")
+    prune_type = config.get("prune_type")
+    if was_prune:
         config.caption_model = config.caption_model[: -len("_prune")]
     if args.eval_dir_suffix:
         config.eval_dir_suffix = args.eval_dir_suffix
@@ -94,9 +100,21 @@ def main():
         module.state = module.state.replace(params=jax.tree.map(jax.numpy.asarray, params))
     else:
         ckpt = load_pytree(ckpt_path)
+        params, masks = ckpt["params"], ckpt.get("masks", {}) or {}
+        if was_prune and masks and prune_type:
+            # train checkpoints carry RAW params + the masks collection;
+            # the stripped dense model never reads masks, so fold them
+            # into the weights here (w * mask, round(sigmoid) for
+            # supermasks) — otherwise the eval would score the unmasked
+            # stale weights (the reference avoids this by defaulting to
+            # the densified model_best_pruned_sparse.pth)
+            from sparse_caption_tpu.pruning.engine import prune_weights
+
+            params = prune_weights(params, masks, prune_type)
+            masks = {}
         module.state = module.state.replace(
-            params=jax.tree.map(jax.numpy.asarray, ckpt["params"]),
-            masks=ckpt.get("masks", {}) or {},
+            params=jax.tree.map(jax.numpy.asarray, params),
+            masks=masks,
         )
     if args.cast:
         import jax.numpy as jnp
@@ -106,7 +124,10 @@ def main():
         dt = jnp.bfloat16 if args.cast == "bf16" else jnp.float16
         cast = lambda x: x.astype(dt) if hasattr(x, "dtype") and jnp.issubdtype(x.dtype, jnp.floating) else x  # noqa: E731
         module.state = module.state.replace(params=jax.tree.map(cast, module.state.params))
-        save_pytree(ckpt_path.replace(".msgpack", f"_{args.cast}.msgpack"),
+        # splitext, NOT str.replace: a .npz checkpoint path must become
+        # <stem>_<cast>.msgpack rather than silently overwriting the
+        # sparse export with msgpack bytes
+        save_pytree(os.path.splitext(ckpt_path)[0] + f"_{args.cast}.msgpack",
                     {"params": module.state.params, "masks": module.state.masks})
         if args.cast == "bf16":
             # cast the float INPUTS too (eval_on_split honors eval_cast):
@@ -114,7 +135,7 @@ def main():
             # would silently re-promote the encoder back to f32
             module.config.eval_cast = "bf16"
     loader = module.get_loader(args.split, train=False)
-    module.global_step = int(config.get("best_global_step", 0))
+    module.global_step = best_step  # stashed before prepare() reset it
     _, scores, out_dir = module.eval_on_split(loader, split=args.split)
     print(scores)
 

@@ -48,8 +48,6 @@ def modified_sample_logits(logprobs: jnp.ndarray, sample_method: str, temperatur
         keep_sorted = jnp.concatenate(
             [jnp.ones_like(csum[:, :1], dtype=bool), csum[:, :-1] < top_num], axis=-1
         )
-        kept = jnp.where(keep_sorted, sorted_probs, 0.0)
-        kept = kept / jnp.sum(kept, axis=-1, keepdims=True)
         # map back to vocab order: token v is kept iff its prob > cutoff
         # (strictly-sorted assumption matches the reference's scatter by
         # sort indices; ties share the same fate by probability value)

@@ -44,6 +44,10 @@ def make_schedule(config, steps_per_epoch: int = 1) -> Callable:
         decay_start = int(config.get("learning_rate_decay_start", -1))
         decay_every = int(config.get("learning_rate_decay_every", 3))
         decay_rate = float(config.get("learning_rate_decay_rate", 0.8))
+        # reference StepLROpt asserts at construction (optim.py:60-66);
+        # inside jit a zero decay_every would be a silent traced div-by-zero
+        assert decay_every > 0, f"learning_rate_decay_every must be > 0, got {decay_every}"
+        assert 0.0 < decay_rate <= 1.0, f"learning_rate_decay_rate must be in (0, 1], got {decay_rate}"
 
         def sched(step):
             epoch = step // max(steps_per_epoch, 1)
@@ -76,14 +80,14 @@ def build_weight_optimizer(config, schedule: Callable) -> optax.GradientTransfor
     beta = float(config.get("optim_beta", 0.999))
     eps = float(config.get("optim_epsilon", 1e-8))
     if str(config.get("lr_scheduler", "noam")).lower() == "noam":
-        # reference hard-codes Adam(0.9, 0.98, 1e-9) under noam (optim.py:116-125)
+        # reference hard-codes Adam(0.9, 0.98, 1e-9) with NO weight decay
+        # under noam (optim.py:116-125)
         alpha, beta, eps = 0.9, 0.98, 1e-9
         name = "adam"
+        wd = 0.0
 
     if name == "adam":
-        core = optax.adamw(schedule, b1=alpha, b2=beta, eps=eps, weight_decay=wd) if wd else optax.adam(
-            schedule, b1=alpha, b2=beta, eps=eps
-        )
+        core = optax.adam(schedule, b1=alpha, b2=beta, eps=eps)
     elif name == "rmsprop":
         core = optax.rmsprop(schedule, decay=alpha, eps=eps)
     elif name == "adagrad":
@@ -97,6 +101,12 @@ def build_weight_optimizer(config, schedule: Callable) -> optax.GradientTransfor
     else:
         raise ValueError(f"bad optim `{name}`; options: {ALL_OPTIMIZERS}")
     chain = [optax.clip(grad_clip)] if grad_clip and grad_clip > 0 else []
+    if wd:
+        # torch-style COUPLED L2 (g + wd*w fed into the optimizer) for
+        # EVERY optimizer, exactly as the reference passes weight_decay to
+        # each torch.optim class (optim.py:94-118) — not AdamW's decoupled
+        # decay, and not adam-only
+        chain.append(optax.add_decayed_weights(wd))
     return optax.chain(*chain, core)
 
 

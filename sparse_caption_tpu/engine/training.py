@@ -151,7 +151,13 @@ class TrainingModule:
         assert config.max_epochs > 0 and config.get("save_checkpoint_every", 6000) > 0
         if config.get("cached_tokens") is None:
             config.cached_tokens = os.path.join(config.dataset_dir, "bu", "coco-train-words")
-        self.config_path = config.save_config(config.log_dir, exist_ok=bool(config.get("config_overwrite", False)))
+        if bool(config.get("config_save_skip", False)):
+            # read-only entries (eval_model): never rewrite the training
+            # run's config.json with eval-time mutations (stripped _prune
+            # model name, decode overrides)
+            self.config_path = os.path.join(config.log_dir, "config.json")
+        else:
+            self.config_path = config.save_config(config.log_dir, exist_ok=bool(config.get("config_overwrite", False)))
         self.train_loader = self.get_loader("train", train=True)
         self.val_loader = self.get_loader("val", train=False)
         self.tb = ScalarLogger(config.log_dir)

@@ -79,3 +79,40 @@ def test_step_schedule_epoch_decay():
     np.testing.assert_allclose(float(sched(jnp.asarray(5))), 0.1)  # epoch 0
     np.testing.assert_allclose(float(sched(jnp.asarray(25))), 0.05)  # epoch 2
     np.testing.assert_allclose(float(sched(jnp.asarray(45))), 0.025)  # epoch 4
+
+
+def test_weight_decay_matches_torch_coupled_l2():
+    """Reference passes weight_decay to every torch.optim class — coupled
+    L2 (g + wd*w fed to the optimizer), NOT AdamW's decoupled decay.
+    Compare one sgd and one adam step against torch."""
+    from sparse_caption_tpu.engine.optim import build_weight_optimizer
+
+    w0 = np.asarray([[0.5, -1.0], [2.0, 0.25]], np.float32)
+    g0 = np.asarray([[0.1, 0.2], [-0.3, 0.4]], np.float32)
+    for optim_name in ("sgd", "adam"):
+        cfg = Config(optim=optim_name, lr_scheduler="step", learning_rate=0.1,
+                     learning_rate_decay_start=-1, learning_rate_decay_every=3,
+                     learning_rate_decay_rate=0.8, weight_decay=0.01, grad_clip=0.0,
+                     optim_alpha=0.9, optim_beta=0.999, optim_epsilon=1e-8)
+        opt = build_weight_optimizer(cfg, lambda step: 0.1)
+        params = {"w": jnp.asarray(w0)}
+        state = opt.init(params)
+        updates, _ = opt.update({"w": jnp.asarray(g0)}, state, params)
+        ours = np.asarray(params["w"] + updates["w"])
+
+        tw = torch.nn.Parameter(torch.tensor(w0))
+        topt = (torch.optim.SGD([tw], lr=0.1, weight_decay=0.01) if optim_name == "sgd"
+                else torch.optim.Adam([tw], lr=0.1, betas=(0.9, 0.999), eps=1e-8,
+                                      weight_decay=0.01))
+        tw.grad = torch.tensor(g0)
+        topt.step()
+        np.testing.assert_allclose(ours, tw.detach().numpy(), rtol=1e-5, atol=1e-6)
+
+
+def test_step_schedule_rejects_zero_decay_every():
+    import pytest
+
+    cfg = Config(lr_scheduler="step", learning_rate=0.1, learning_rate_decay_start=0,
+                 learning_rate_decay_every=0, learning_rate_decay_rate=0.5)
+    with pytest.raises(AssertionError):
+        make_schedule(cfg, steps_per_epoch=10)

@@ -287,6 +287,46 @@ def test_eval_model_script(fixture_dataset, tmp_path):
     assert "CIDEr" in r.stdout
 
 
+def test_eval_model_preserves_run_config_and_folds_masks(fixture_dataset, tmp_path):
+    """eval_model on a PRUNE run must (a) not rewrite the training run's
+    config.json with its eval-time mutations (stripped `_prune` name,
+    decode overrides), and (b) fold the masks collection into the dense
+    params instead of scoring raw unmasked weights."""
+    import json
+    import subprocess
+
+    argv = tiny_args(fixture_dataset, tmp_path, "up_down_lstm_prune",
+                     TINY_UPDOWN + ["--prune_type", "mag_blind", "--prune_sparsity_target", "0.5"])
+    module = run_train(argv, prune=True)
+    cfg_path = os.path.join(module.config.log_dir, "config.json")
+    with open(cfg_path) as f:
+        before = json.load(f)
+    assert before["caption_model"] == "up_down_lstm_prune"
+
+    r = subprocess.run(
+        [sys.executable, os.path.join(os.path.dirname(__file__), "..", "scripts", "eval_model.py"),
+         "--log_dir", module.config.log_dir, "--ckpt", "last", "--split", "val",
+         "--beam_size", "1", "--platform", "cpu"],
+        capture_output=True, text=True, timeout=900,
+    )
+    assert r.returncode == 0, r.stderr[-3000:]
+    with open(cfg_path) as f:
+        after = json.load(f)
+    assert after == before, "eval_model must not rewrite the run's config.json"
+
+    # (b): folding applied — the dense model the eval built must carry
+    # zeroed weights where the mask is 0 (reproduce the fold here)
+    import numpy as np
+
+    from sparse_caption_tpu.engine.checkpoints import load_pytree
+    from sparse_caption_tpu.pruning.engine import mask_weight_pairs, prune_weights
+
+    ckpt = load_pytree(os.path.join(module.config.log_dir, "model_last.msgpack"))
+    folded = prune_weights(ckpt["params"], ckpt["masks"], "mag_blind")
+    pairs = list(mask_weight_pairs(folded, ckpt["masks"]))
+    assert pairs and any(float(np.mean(np.asarray(m) == 0)) > 0.2 for _, _, m in pairs)
+
+
 def test_mask_freeze_scst_from_pruned_checkpoint(fixture_dataset, tmp_path):
     """The paper's sparse-SCST recipe (reference commands_pruning.sh:175-196):
     supermask-prune, then fine-tune with mask_freeze + SCST from that run."""
