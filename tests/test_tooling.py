@@ -216,3 +216,64 @@ def test_collect_scores_passes_skip_markers(tmp_path):
     rows100 = {row["run"]: row for row in csv.DictReader(open(out.replace(".csv", "_100x.csv")))}
     assert rows100["run_m"]["val_beam_1/CIDEr"] == "100.0"
     assert rows100["run_m"]["val_beam_1/METEOR"] == "skipped (jar unavailable)"
+
+
+def test_prepro_labels_layout(tmp_path):
+    """prepro_labels encodes the reference's exact array contract
+    (scripts/dataset/prepro_labels.py:94-136): thresholded 1-indexed
+    vocab with conditional UNK, zero-padded uint32 labels clipped at
+    max_length, Lua-style inclusive per-image caption pointers."""
+    imgs = [
+        {"filename": "a.jpg", "filepath": "val2014", "cocoid": 7, "split": "train",
+         "sentences": [
+             {"tokens": ["a", "dog", "runs"]},
+             {"tokens": ["a", "dog", "sits", "on", "a", "rug"]},  # clipped at 4
+         ]},
+        {"filename": "b.jpg", "filepath": "val2014", "cocoid": 9, "split": "test",
+         "sentences": [{"tokens": ["a", "cat", "naps"]}]},
+    ]
+    src = tmp_path / "dataset.json"
+    json.dump({"images": imgs}, open(src, "w"))
+    out_json = tmp_path / "data.json"
+    r = subprocess.run(
+        [sys.executable, os.path.join(SCRIPTS, "dataset", "prepro_labels.py"),
+         "--input_json", str(src), "--output_json", str(out_json),
+         "--output_h5", str(tmp_path / "data"),
+         "--max_length", "4", "--word_count_threshold", "1"],
+        capture_output=True, text=True)
+    assert r.returncode == 0, r.stderr
+
+    meta = json.load(open(out_json))
+    # counts: a=4 dog=2 (> thr 1); the rest <= thr -> UNK appended last
+    itow = {int(k): v for k, v in meta["ix_to_word"].items()}
+    assert sorted(itow.values()) == ["UNK", "a", "dog"]
+    assert itow[max(itow)] == "UNK"
+    assert meta["images"][0] == {"split": "train", "file_path": "val2014/a.jpg", "id": 7}
+
+    wtoi = {w: i for i, w in itow.items()}
+    z = np.load(tmp_path / "data_label.npz")
+    a, dog, unk = wtoi["a"], wtoi["dog"], wtoi["UNK"]
+    np.testing.assert_array_equal(
+        z["labels"],
+        np.array([[a, dog, unk, 0],         # "a dog runs" zero-padded
+                  [a, dog, unk, unk],       # clipped at max_length 4
+                  [a, unk, unk, 0]], dtype=np.uint32))
+    np.testing.assert_array_equal(z["label_length"], [3, 4, 3])
+    np.testing.assert_array_equal(z["label_start_ix"], [1, 3])  # 1-indexed inclusive
+    np.testing.assert_array_equal(z["label_end_ix"], [2, 3])
+
+    # h5 layout matches the npz bit-for-bit when h5py is present
+    try:
+        import h5py
+    except ImportError:
+        return
+    r = subprocess.run(
+        [sys.executable, os.path.join(SCRIPTS, "dataset", "prepro_labels.py"),
+         "--input_json", str(src), "--output_json", str(tmp_path / "d2.json"),
+         "--output_h5", str(tmp_path / "d2"), "--hdf5",
+         "--max_length", "4", "--word_count_threshold", "1"],
+        capture_output=True, text=True)
+    assert r.returncode == 0, r.stderr
+    with h5py.File(tmp_path / "d2_label.h5") as f:
+        np.testing.assert_array_equal(f["labels"][()], z["labels"])
+        np.testing.assert_array_equal(f["label_start_ix"][()], z["label_start_ix"])
