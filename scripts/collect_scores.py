@@ -24,7 +24,8 @@ from typing import Dict, List, Optional
 
 sys.path.insert(0, str(Path(__file__).resolve().parent.parent))
 
-METRICS = ["Bleu_1", "Bleu_2", "Bleu_3", "Bleu_4", "METEOR", "METEOR_py", "ROUGE_L", "CIDEr", "SPICE"]
+METRICS = ["Bleu_1", "Bleu_2", "Bleu_3", "Bleu_4", "METEOR", "METEOR_py",
+           "ROUGE_L", "CIDEr", "SPICE", "SPICE_py"]
 
 
 def caption_stats(split_dir: str, vocab_size: int, train_captions: Optional[set]) -> Dict[str, str]:

@@ -70,7 +70,7 @@ class TrainState(struct.PyTreeNode):
 class TrainingModule:
     ALL_METRICS = [
         "Bleu_1", "Bleu_2", "Bleu_3", "Bleu_4", "METEOR", "METEOR_py",
-        "ROUGE_L", "CIDEr", "SPICE",
+        "ROUGE_L", "CIDEr", "SPICE", "SPICE_py",
     ]
     SCST_SAMPLE = ["beam_search", "random"]
     SCST_BASELINE = ["greedy", "sample"]

@@ -11,7 +11,11 @@ BLEU/ROUGE/CIDEr stack. ``METEOR_py`` (``metrics/meteor_py.py``) is a
 jar-free Meteor 1.5 reimplementation always reported under its own key:
 exact+stem stages by default (a documented lower bound on official
 METEOR), all four stages when the jar's language data is supplied via
-``SPARSE_CAPTION_METEOR_DATA``.
+``SPARSE_CAPTION_METEOR_DATA``. ``SPICE_py`` (``metrics/spice_py.py``) is
+the analogous jar-free SPICE path: the exact SPICE tuple-F1 machinery over
+a rule-based scene-graph extraction (optional synonym matching via
+``SPARSE_CAPTION_SPICE_SYNONYMS``), likewise reported only under its own
+key.
 """
 
 from __future__ import annotations
@@ -23,6 +27,7 @@ from typing import Dict, List, Tuple
 from sparse_caption_tpu.metrics import meteor as meteor_mod
 from sparse_caption_tpu.metrics import meteor_py
 from sparse_caption_tpu.metrics import spice as spice_mod
+from sparse_caption_tpu.metrics import spice_py
 from sparse_caption_tpu.metrics.bleu import compute_bleu
 from sparse_caption_tpu.metrics.cider import compute_cider
 from sparse_caption_tpu.metrics.ptb_tokenizer import ptb_tokenize
@@ -30,7 +35,7 @@ from sparse_caption_tpu.metrics.rouge import compute_rouge
 
 ALL_METRICS = [
     "Bleu_1", "Bleu_2", "Bleu_3", "Bleu_4", "METEOR", "METEOR_py",
-    "ROUGE_L", "CIDEr", "SPICE",
+    "ROUGE_L", "CIDEr", "SPICE", "SPICE_py",
 ]
 
 
@@ -93,6 +98,14 @@ def evaluate_captions(gts_raw: Dict[int, List[dict]], res_raw: Dict[int, List[di
             per_image[i]["SPICE"] = float(s_per[idx])
     else:
         scores["SPICE"] = "skipped (jar unavailable)"
+    # jar-free SPICE analog (metrics/spice_py.py) — like METEOR_py, always
+    # reported under its own key: exact SPICE F-score machinery over a
+    # rule-based scene-graph extraction, never impersonating the jar's
+    # dependency-parsed "SPICE" numbers
+    spy_mean, spy_per = spice_py.compute_spice_py(gts_tok, res_tok)
+    scores["SPICE_py"] = spy_mean
+    for idx, i in enumerate(ids):
+        per_image[i]["SPICE_py"] = float(spy_per[idx])
     return scores, per_image
 
 

@@ -1,0 +1,470 @@
+"""Jar-free SPICE analog: rule-based scene graphs + the SPICE F-score.
+
+The official SPICE (reference ``coco_caption/pycocoevalcap/spice/spice.py``
++ ``spice-1.0.jar``) pipelines Stanford CoreNLP dependency parses through
+the SceneGraphParser rules, then scores the candidate graph's semantic
+tuples against the union of the reference graphs' tuples with an F1.
+Neither the jar's LFS blob nor a ``java`` runtime exists in this
+environment, so — like ``metrics/meteor_py.py`` for METEOR — this module
+reimplements the metric without Java and reports under its OWN key
+(``SPICE_py``), never impersonating official ``SPICE`` numbers.
+
+What is exact vs approximate:
+
+* **Scoring machinery — exact.** Tuples are the SPICE paper's (Anderson
+  et al. 2016, §3.1): unary objects ``(o)``, binary attributes
+  ``(o, attr)``, ternary relations ``(s, rel, o)``; duplicate tuples
+  collapse (set semantics); reference tuples are the union over all
+  references; P/R/F1 computed per image and mean-aggregated, matching the
+  jar's per-image ``scores["All"]["f"]`` mean (reference spice.py:80-90).
+  Synonym-equivalent matching (the paper's WordNet step) is supported by
+  supplying synset data via ``SPARSE_CAPTION_SPICE_SYNONYMS`` (a JSON
+  list of synonym groups); without it, matching is exact on stemmed
+  lemmas — a documented approximation in BOTH directions (misses synonym
+  credit; stemming may merge slightly more aggressively than lemmas).
+* **Scene-graph extraction — rule-based approximation.** Instead of a
+  trained dependency parser, a deterministic finite-state grammar over
+  caption-ese (lexicon + context tagging, NP chunking, prepositional /
+  verbal relation rules). On the SPICE paper's own running example
+  ("A young girl standing on top of a tennis court", Fig. 1) it produces
+  the paper's published tuple set exactly: {(girl), (court),
+  (girl, young), (girl, standing), (court, tennis),
+  (girl, on top of, court)} — pinned by tests/test_spice_py.py.
+
+Grammar (documented so the approximation is auditable):
+
+* multiword prepositions are collapsed first ("on top of", "in front
+  of", "next to", ...);
+* an NP is ``det/num? modifier* head-noun``; numeric and adjectival
+  modifiers and pre-head nouns each yield an attribute tuple (the paper
+  treats "tennis" in "tennis court" as an attribute);
+* ``NP prep NP`` and ``NP verb NP`` yield relation tuples;
+* ``NP verb prep NP`` yields ``(subj, verb)`` as an attribute plus
+  ``(subj, prep, obj)`` — the paper's treatment of "standing on top of";
+* copulas are transparent ("is on" → prep relation, "is red" →
+  attribute); verbs with no object become attributes; adverbs are
+  skipped; NPs coordinated with "and" share the surrounding relations.
+
+All tuple elements are normalized with the self-contained Snowball
+stemmer (``metrics/snowball_en.py``), so surface inflections ("riding" /
+"rides", "dogs"/"dog") compare equal on both sides.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+from typing import Dict, Iterable, List, Sequence, Set, Tuple
+
+from sparse_caption_tpu.metrics.snowball_en import stem
+
+SYN_ENV = "SPARSE_CAPTION_SPICE_SYNONYMS"
+
+# ----------------------------------------------------------------- lexicons
+
+DETS = {
+    "a", "an", "the", "this", "that", "these", "those", "some", "any", "no",
+    "each", "every", "another", "other", "both", "all", "its", "his", "her",
+    "their", "our", "my", "your", "it's",
+}
+NUMS = {
+    "one", "two", "three", "four", "five", "six", "seven", "eight", "nine",
+    "ten", "eleven", "twelve", "several", "many", "few", "couple", "numerous",
+    "multiple", "dozen", "lots",
+}
+PREPS = {
+    "on", "in", "at", "of", "with", "by", "near", "under", "over", "above",
+    "below", "behind", "beside", "between", "against", "across", "along",
+    "around", "atop", "onto", "into", "through", "toward", "towards",
+    "inside", "outside", "beneath", "underneath", "amid", "among", "upon",
+    "within", "past", "beyond", "from", "to", "down", "up", "off", "for",
+}
+# collapsed before tagging; longest first
+MULTIWORD_PREPS = [
+    ("on", "top", "of"), ("in", "front", "of"), ("in", "the", "middle", "of"),
+    ("on", "the", "side", "of"), ("next", "to"), ("close", "to"),
+    ("on", "either", "side", "of"), ("in", "the", "back", "of"),
+    ("on", "the", "back", "of"), ("out", "of"),
+]
+COPULAS = {
+    "is", "are", "was", "were", "be", "been", "being", "am",
+    "has", "have", "had", "do", "does", "did", "can", "could", "will",
+    "would", "there", "appears", "appear", "seems", "seem", "looks_like",
+}
+CONJS = {"and", "or", ",", "while", "as", "that", "which", "who", "whom", "where", "when"}
+ADJS = {
+    # colors
+    "red", "blue", "green", "yellow", "black", "white", "brown", "gray",
+    "grey", "orange", "purple", "pink", "golden", "gold", "silver", "tan",
+    "beige", "dark", "light", "bright", "colorful", "blond", "blonde",
+    # size / shape
+    "big", "large", "small", "little", "tiny", "huge", "giant", "tall",
+    "short", "long", "wide", "narrow", "thin", "thick", "round", "square",
+    "flat", "deep", "shallow", "high", "low", "miniature", "oversized",
+    # age / state
+    "old", "young", "new", "vintage", "antique", "modern", "dirty", "clean",
+    "wet", "dry", "empty", "full", "open", "closed", "broken", "shiny",
+    "rusty", "fresh", "ripe", "raw", "cooked", "hot", "cold", "warm",
+    "frozen", "busy", "crowded", "quiet", "cloudy", "sunny", "snowy",
+    "rainy", "foggy", "grassy", "sandy", "rocky", "muddy", "dusty", "lush",
+    "bare", "asleep", "awake", "alone", "united",
+    # material-ish modifiers captions use adjectivally
+    "wooden", "metal", "metallic", "plastic", "glass", "stone", "brick",
+    "leather", "furry", "fluffy", "fuzzy", "hairy", "striped", "spotted",
+    "checkered", "plaid", "floral", "ornate", "fancy", "plain",
+    # judgement / misc
+    "cute", "beautiful", "pretty", "handsome", "happy", "sad", "angry",
+    "lovely", "nice", "delicious", "tasty", "healthy", "professional",
+    "electric", "electronic", "digital", "public", "private", "male",
+    "female", "double", "single", "triple", "upper", "lower", "middle",
+    "top", "bottom", "front", "back", "left", "right", "different",
+    "various", "assorted", "remote", "stuffed", "parked", "decorated",
+    "dressed", "covered", "filled", "topped", "lit", "crossed", "curved",
+    "overcast", "snowcovered", "homemade", "wild", "slow", "fast", "free",
+    "busy", "heavy", "pointy", "sharp", "soft", "hard", "smooth", "rough",
+}
+# common caption verb lemmas; inflections generated below
+VERB_LEMMAS = {
+    "sit", "stand", "ride", "walk", "run", "hold", "wear", "eat", "drink",
+    "play", "jump", "fly", "look", "watch", "carry", "pull", "push",
+    "throw", "catch", "hit", "kick", "swing", "ski", "surf", "skate",
+    "snowboard", "skateboard", "drive", "park", "sleep", "lay", "lie",
+    "rest", "lean", "hang", "sail", "swim", "graze", "feed", "talk", "use",
+    "cut", "cook", "prepare", "serve", "pose", "smile", "laugh", "wait",
+    "cross", "climb", "perform", "read", "write", "point", "reach", "grab",
+    "pet", "brush", "wash", "clean", "fix", "make", "take", "give", "show",
+    "face", "stare", "gaze", "glance", "travel", "move", "race", "chase",
+    "follow", "lead", "pass", "turn", "bend", "stretch", "kneel", "squat",
+    "crouch", "float", "land", "approach", "enter", "leave", "exit",
+    "attach", "contain", "display", "cover", "fill", "top", "decorate",
+    "surround", "overlook", "line", "share", "enjoy", "celebrate", "work",
+    "cook", "bake", "slice", "bite", "chew", "lick", "sniff", "smell",
+    "herd", "pitch", "bat", "dribble", "serve", "return", "juggle", "row",
+    "paddle", "dive", "splash", "wade", "drag", "load", "unload", "tow",
+    "pour", "spray", "paint", "draw", "type", "text", "call", "speak",
+    "sing", "dance", "march", "parade", "wave", "shake", "hug", "kiss",
+}
+IRREGULAR_VERB_FORMS = {
+    "sat": "sit", "stood": "stand", "rode": "ride", "ridden": "ride",
+    "ran": "run", "held": "hold", "wore": "wear", "worn": "wear",
+    "ate": "eat", "eaten": "eat", "drank": "drink", "drunk": "drink",
+    "flew": "fly", "flies": "fly", "flown": "fly", "threw": "throw",
+    "thrown": "throw", "caught": "catch", "drove": "drive", "driven":
+    "drive", "slept": "sleep", "lay": "lie", "lain": "lie", "hung": "hang",
+    "swam": "swim", "swum": "swim", "grazed": "graze", "fed": "feed",
+    "spoke": "speak", "spoken": "speak", "sang": "sing", "sung": "sing",
+    "took": "take", "taken": "take", "gave": "give", "given": "give",
+    "made": "make", "read": "read", "wrote": "write", "written": "write",
+    "left": "leave", "led": "lead", "bent": "bend", "knelt": "kneel",
+    "dove": "dive", "bit": "bite", "bitten": "bite",
+}
+
+
+def _inflections(lemma: str) -> List[str]:
+    forms = [lemma]
+    if lemma.endswith(("s", "sh", "ch", "x", "z")):
+        forms.append(lemma + "es")
+    elif lemma.endswith("y") and len(lemma) > 2 and lemma[-2] not in "aeiou":
+        forms.append(lemma[:-1] + "ies")
+    else:
+        forms.append(lemma + "s")
+    if lemma.endswith("e") and not lemma.endswith("ee"):
+        base = lemma[:-1]
+        forms += [base + "ing", base + "ed"]
+    elif (len(lemma) >= 3 and lemma[-1] not in "aeiouwxy"
+          and lemma[-2] in "aeiou" and lemma[-3] not in "aeiou"):
+        forms += [lemma + lemma[-1] + "ing", lemma + lemma[-1] + "ed"]
+    else:
+        forms += [lemma + "ing", lemma + "ed"]
+    return forms
+
+
+VERB_FORMS: Dict[str, str] = {}
+for _lemma in VERB_LEMMAS:
+    for _f in _inflections(_lemma):
+        VERB_FORMS.setdefault(_f, _lemma)
+VERB_FORMS.update(IRREGULAR_VERB_FORMS)
+# participle adjectives stay attributes when used pre-nominally (handled by
+# position in the chunker), but a few are overwhelmingly adjectival:
+for _adj_only in ("parked", "stuffed", "decorated", "dressed", "covered",
+                  "filled", "topped", "striped", "spotted", "assorted"):
+    VERB_FORMS.pop(_adj_only, None)
+
+
+# ------------------------------------------------------------------ tagging
+
+def _collapse_multiword(tokens: List[str]) -> List[str]:
+    out: List[str] = []
+    i = 0
+    while i < len(tokens):
+        hit = None
+        for mw in MULTIWORD_PREPS:
+            if tuple(tokens[i:i + len(mw)]) == mw:
+                hit = mw
+                break
+        if hit:
+            out.append(" ".join(hit))
+            i += len(hit)
+        else:
+            out.append(tokens[i])
+            i += 1
+    return out
+
+
+def _nounish(word: str) -> bool:
+    """Could `word` continue a noun phrase? (not a boundary token)"""
+    return bool(word) and " " not in word and word not in DETS \
+        and word not in PREPS and word not in COPULAS and word not in CONJS \
+        and word not in VERB_FORMS
+
+
+def _tag(tokens: List[str]) -> List[str]:
+    """Coarse tags: DET NUM PREP COP CONJ ADJ VERB ADV NOUN.
+
+    Noun/verb-ambiguous surface forms ("wave", "waves", "riding") resolve
+    by position: inside an NP (after a determiner/modifier/preposition)
+    they are nouns — except -ing/-ed participles directly modifying a
+    noun ("a smiling man", "grazing sheep"), which become attributes —
+    and directly after a verb a non-gerund is its object noun
+    ("riding waves")."""
+    tags: List[str] = []
+    for i, w in enumerate(tokens):
+        nxt = tokens[i + 1] if i + 1 < len(tokens) else ""
+        prev = tags[i - 1] if i > 0 else ""
+        if " " in w or w in PREPS:
+            tags.append("PREP")
+        elif w in DETS:
+            tags.append("DET")
+        elif w in NUMS or w.isdigit():
+            tags.append("NUM")
+        elif w in COPULAS:
+            tags.append("COP")
+        elif w in CONJS:
+            tags.append("CONJ")
+        elif w in ADJS:
+            tags.append("ADJ")
+        elif w in VERB_FORMS or (w.endswith("ing") and len(w) > 4):
+            ing_ed = w.endswith(("ing", "ed"))
+            if prev in ("", "DET", "NUM", "ADJ", "PREP"):
+                tags.append("ADJ" if ing_ed and _nounish(nxt) else "NOUN")
+            elif prev == "VERB" and not w.endswith("ing"):
+                tags.append("NOUN")
+            else:
+                tags.append("VERB")
+        elif w.endswith("ly") and len(w) > 3:
+            tags.append("ADV")
+        else:
+            tags.append("NOUN")
+    return tags
+
+
+# ------------------------------------------------------------------ parsing
+
+class _NP:
+    __slots__ = ("heads", "attrs")
+
+    def __init__(self):
+        self.heads: List[str] = []   # >1 when coordinated ("a man and a woman")
+        self.attrs: List[Tuple[str, str]] = []
+
+
+def _norm(word: str) -> str:
+    return " ".join(stem(w) for w in word.split())
+
+
+def parse_scene_graph(tokens: Sequence[str]) -> Set[Tuple[str, ...]]:
+    """Caption tokens -> set of SPICE tuples (objects/attributes/relations),
+    elements stem-normalized."""
+    toks = _collapse_multiword([t.lower() for t in tokens if t.strip()])
+    tags = _tag(toks)
+
+    tuples: Set[Tuple[str, ...]] = set()
+    nps: List[_NP] = []
+
+    i, n = 0, len(toks)
+    # pending relation between the previous NP and the next one
+    pending: List[Tuple[List[str], str]] = []  # (subject heads, relation word)
+    last_np: _NP | None = None
+    pending_verb: str | None = None  # verb seen after last NP, object TBD
+
+    def flush_verb_as_attr():
+        nonlocal pending_verb
+        if pending_verb and last_np is not None:
+            for h in last_np.heads:
+                tuples.add((h, _norm(pending_verb)))
+        pending_verb = None
+
+    while i < n:
+        tag, tok = tags[i], toks[i]
+        if tag in ("DET", "NUM", "ADJ", "NOUN"):
+            # chunk an NP: [DET]? (NUM|ADJ|NOUN)* NOUN
+            np_ = _NP()
+            mods: List[Tuple[str, str]] = []
+            if tag == "DET":
+                i += 1
+            while i < n and tags[i] in ("NUM", "ADJ", "NOUN"):
+                mods.append((tags[i], toks[i]))
+                i += 1
+            if not mods:
+                i += 1
+                continue
+            # head = last noun in the chunk, else last token
+            head_idx = max((k for k, (t, _) in enumerate(mods) if t == "NOUN"),
+                           default=len(mods) - 1)
+            head = _norm(mods[head_idx][1])
+            np_.heads = [head]
+            tuples.add((head,))
+            for k, (t, w) in enumerate(mods):
+                if k != head_idx:
+                    a = _norm(w)
+                    np_.attrs.append((head, a))
+                    tuples.add((head, a))
+            # attach pending relations (prep or verb) to this NP as object
+            if pending:
+                for subj_heads, rel in pending:
+                    for s in subj_heads:
+                        for o in np_.heads:
+                            tuples.add((s, _norm(rel), o))
+                pending = []
+                pending_verb = None
+            elif pending_verb is not None and last_np is not None:
+                for s in last_np.heads:
+                    for o in np_.heads:
+                        tuples.add((s, _norm(pending_verb), o))
+                pending_verb = None
+            nps.append(np_)
+            last_np = np_
+            continue
+        if tag == "PREP":
+            if pending_verb is not None and last_np is not None:
+                # "standing on top of X": verb becomes an attribute, the
+                # preposition carries the relation (SPICE paper Fig. 1)
+                flush_verb_as_attr()
+            if last_np is not None:
+                pending.append((list(last_np.heads), tok))
+            i += 1
+            continue
+        if tag == "VERB":
+            flush_verb_as_attr()
+            pending_verb = VERB_FORMS.get(tok, tok)
+            i += 1
+            continue
+        if tag == "COP":
+            # transparent: "is on" -> prep relation; "is red" -> attribute
+            i += 1
+            if i < n and tags[i] == "ADJ" and last_np is not None:
+                for h in last_np.heads:
+                    tuples.add((h, _norm(toks[i])))
+                i += 1
+            continue
+        if tag == "CONJ" and tok == "and":
+            # coordinate the NEXT NP with the previous one as co-subjects
+            j = i + 1
+            if j < n and tags[j] in ("DET", "NUM", "ADJ", "NOUN") and last_np is not None \
+                    and pending_verb is None and not pending:
+                # chunk the coordinated NP inline
+                if tags[j] == "DET":
+                    j += 1
+                mods = []
+                while j < n and tags[j] in ("NUM", "ADJ", "NOUN"):
+                    mods.append((tags[j], toks[j]))
+                    j += 1
+                if mods:
+                    head_idx = max((k for k, (t, _) in enumerate(mods) if t == "NOUN"),
+                                   default=len(mods) - 1)
+                    head = _norm(mods[head_idx][1])
+                    tuples.add((head,))
+                    for k, (t, w) in enumerate(mods):
+                        if k != head_idx:
+                            tuples.add((head, _norm(w)))
+                    last_np.heads.append(head)
+                    i = j
+                    continue
+            i += 1
+            continue
+        # ADV / other CONJ: clause boundary for relation state
+        if tag == "CONJ":
+            flush_verb_as_attr()
+            pending = []
+        i += 1
+
+    flush_verb_as_attr()
+    return tuples
+
+
+# ------------------------------------------------------------------ scoring
+
+def _load_synonyms() -> Dict[str, Set[int]]:
+    """Optional synonym groups: JSON list of word lists. A tuple element
+    matches if the stemmed words are equal or share a group."""
+    path = os.environ.get(SYN_ENV, "")
+    if not path or not os.path.isfile(path):
+        return {}
+    with open(path) as f:
+        groups = json.load(f)
+    word_to_groups: Dict[str, Set[int]] = {}
+    for gi, group in enumerate(groups):
+        for w in group:
+            word_to_groups.setdefault(_norm(w.lower()), set()).add(gi)
+    return word_to_groups
+
+
+def _elems_match(a: str, b: str, syn: Dict[str, Set[int]]) -> bool:
+    if a == b:
+        return True
+    if syn:
+        ga, gb = syn.get(a), syn.get(b)
+        return bool(ga and gb and ga & gb)
+    return False
+
+
+def _tuples_match(a: Tuple[str, ...], b: Tuple[str, ...], syn) -> bool:
+    return len(a) == len(b) and all(_elems_match(x, y, syn) for x, y in zip(a, b))
+
+
+def _count_matches(cand: Set[Tuple[str, ...]], ref: Set[Tuple[str, ...]], syn) -> int:
+    if not syn:
+        return len(cand & ref)
+    matched = 0
+    free = set(ref)
+    for t in cand:
+        hit = next((r for r in free if _tuples_match(t, r, syn)), None)
+        if hit is not None:
+            free.discard(hit)
+            matched += 1
+    return matched
+
+
+def f_score(cand: Set[Tuple[str, ...]], ref: Set[Tuple[str, ...]], syn=None) -> float:
+    """SPICE F1 over tuple sets (paper eq. 1-3): binary matching, set
+    semantics, F=0 when either side is empty."""
+    syn = syn or {}
+    if not cand or not ref:
+        return 0.0
+    m = _count_matches(cand, ref, syn)
+    p, r = m / len(cand), m / len(ref)
+    return 0.0 if m == 0 else 2 * p * r / (p + r)
+
+
+def graph_tuples(sentences: Iterable[str]) -> Set[Tuple[str, ...]]:
+    """Union of scene-graph tuples over sentences (the reference-side
+    merge: the jar unions all reference graphs before matching)."""
+    out: Set[Tuple[str, ...]] = set()
+    for s in sentences:
+        out |= parse_scene_graph(s.split())
+    return out
+
+
+def compute_spice_py(gts: Dict, res: Dict):
+    """(mean, per-image scores) over PTB-tokenized caption dicts — the
+    same call shape as compute_bleu/compute_cider (candidate dicts hold a
+    single caption per image)."""
+    syn = _load_synonyms()
+    ids = sorted(res.keys())
+    per = []
+    for i in ids:
+        cand = graph_tuples(res[i][:1])
+        ref = graph_tuples(gts[i])
+        per.append(f_score(cand, ref, syn))
+    mean = sum(per) / len(per) if per else 0.0
+    return mean, per
