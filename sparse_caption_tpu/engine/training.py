@@ -299,7 +299,8 @@ class TrainingModule:
         if self.mesh is not None:
             from sparse_caption_tpu.parallel import shard_state
 
-            self.state = shard_state(self.state, self.mesh)
+            self.state = shard_state(self.state, self.mesh,
+                                     zero_opt=bool(self.config.get("zero_opt")))
         # parameter census (reference train_transformer.py:36-50); the
         # per-tensor breakdown feeds collect_scores' param-group sums
         n_params = sum(x.size for x in jax.tree.leaves(params))
@@ -1065,8 +1066,15 @@ class TrainingModule:
         self.prepare()
         self.init_state()
         self.save_checkpoint("init")  # lottery-ticket snapshot
-        self.maybe_load_checkpoint()
+        restored = self.maybe_load_checkpoint()
         self.post_restore_hook()
+        if restored and self.mesh is not None:
+            # restore_lenient/load_pytree return host arrays, which would
+            # drop the TP/ZeRO shardings init_state placed — re-shard
+            from sparse_caption_tpu.parallel import shard_state
+
+            self.state = shard_state(self.state, self.mesh,
+                                     zero_opt=bool(self.config.get("zero_opt")))
 
         xe_step = self.make_xe_step()
         scst_step = None

@@ -108,6 +108,10 @@ def add_training_args(parser) -> None:
     parser.add_argument("--max_att_regions", type=int, default=36)
     parser.add_argument("--mesh_shape", type=str, default=None,
                         help="device mesh, e.g. '4,2' for (data=4, model=2); None = single device")
+    parser.add_argument("--zero_opt", action="store_true",
+                        help="ZeRO-1: shard optimizer moments over the mesh data axis "
+                             "(1/dp optimizer memory; XLA derives the reduce-scatter/"
+                             "all-gather collectives)")
     parser.add_argument("--platform", type=str, default=None, choices=[None, "cpu", "tpu"],
                         help="pin the JAX platform (overrides environment plugins)")
     parser.add_argument("--profile_dir", type=str, default=None,

@@ -124,13 +124,42 @@ def param_sharding(params: Any, mesh: Mesh) -> Any:
     return jax.tree_util.tree_unflatten(treedef, flat_specs)
 
 
-def opt_state_sharding(opt_state: Any, params: Any, mesh: Mesh) -> Any:
+def _zero_spec(spec: P, leaf, dp: int) -> P:
+    """Extend a TP spec with ZeRO-1 sharding: the first axis not already
+    taken by the model axis whose size divides the data-parallel degree
+    gets sharded over ``data``; otherwise the leaf stays as-is (tiny or
+    indivisible tensors aren't worth a gather)."""
+    ndim = getattr(leaf, "ndim", 0)
+    if ndim == 0 or dp <= 1:
+        return spec
+    parts = list(spec) + [None] * (ndim - len(spec))
+    for ax in range(ndim):
+        if parts[ax] is None and leaf.shape[ax] % dp == 0 and leaf.shape[ax] >= dp:
+            parts[ax] = DATA_AXIS
+            return P(*parts)
+    return spec
+
+
+def opt_state_sharding(opt_state: Any, params: Any, mesh: Mesh,
+                       zero: bool = False) -> Any:
     """Sharding pytree for an optax state, structure-matched to the params:
     any sub-tree with the params' exact tree structure (adam mu/nu, etc.)
-    gets the params' TP shardings; scalars/counters are replicated."""
+    gets the params' TP shardings; scalars/counters are replicated.
+
+    ``zero=True`` (ZeRO-1, Rajbhandari et al. 2020 — expressed purely as
+    shardings, the TPU way): each moment leaf additionally shards its
+    first free divisible axis over the ``data`` axis, so optimizer memory
+    scales 1/dp. XLA derives the collectives: gradients reduce-scatter
+    into the sharded moment update and the weight update all-gathers back
+    onto the replicated params — no hand-written comms."""
     p_shard = param_sharding(params, mesh)
     p_def = jax.tree_util.tree_structure(params)
     repl = NamedSharding(mesh, P())
+    dp = mesh.shape[DATA_AXIS]
+    if zero:
+        p_shard = jax.tree.map(
+            lambda s, leaf: NamedSharding(mesh, _zero_spec(s.spec, leaf, dp)),
+            p_shard, params)
 
     def is_param_tree(node) -> bool:
         try:
@@ -145,17 +174,21 @@ def opt_state_sharding(opt_state: Any, params: Any, mesh: Mesh) -> Any:
     )
 
 
-def shard_state(state: Any, mesh: Mesh) -> Any:
+def shard_state(state: Any, mesh: Mesh, zero_opt: bool = False) -> Any:
     """Device-put a TrainState: params under TP shardings; optimizer moments
     structure-matched to their params (mu/nu shard with the kernel they
-    track); masks and counters replicated."""
+    track), additionally ZeRO-1-sharded over ``data`` when ``zero_opt``;
+    masks and counters replicated."""
     p_shard = param_sharding(state.params, mesh)
     repl = NamedSharding(mesh, P())
     new = state.replace(params=jax.tree.map(jax.device_put, state.params, p_shard))
     if hasattr(new, "opt_w"):
-        ow_shard = opt_state_sharding(new.opt_w, state.params, mesh)
+        ow_shard = opt_state_sharding(new.opt_w, state.params, mesh, zero=zero_opt)
         new = new.replace(opt_w=jax.tree.map(jax.device_put, new.opt_w, ow_shard))
-    for field in ("masks", "opt_m", "step"):
+    if zero_opt and hasattr(new, "opt_m") and jax.tree.leaves(getattr(new, "masks", {})):
+        om_shard = opt_state_sharding(new.opt_m, state.masks, mesh, zero=True)
+        new = new.replace(opt_m=jax.tree.map(jax.device_put, new.opt_m, om_shard))
+    for field in ("masks", "step") + (() if zero_opt else ("opt_m",)):
         if hasattr(new, field):
             new = new.replace(**{field: jax.tree.map(lambda x: jax.device_put(x, repl), getattr(new, field))})
     return new
