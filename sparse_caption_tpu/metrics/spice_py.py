@@ -275,7 +275,11 @@ def _norm(word: str) -> str:
 def parse_scene_graph(tokens: Sequence[str]) -> Set[Tuple[str, ...]]:
     """Caption tokens -> set of SPICE tuples (objects/attributes/relations),
     elements stem-normalized."""
-    toks = _collapse_multiword([t.lower() for t in tokens if t.strip()])
+    # the eval driver feeds PTB-tokenized text (punctuation already
+    # stripped); guard direct callers against raw punctuation tokens,
+    # which would otherwise default-tag as nouns
+    toks = _collapse_multiword(
+        [t.lower() for t in tokens if any(c.isalnum() for c in t)])
     tags = _tag(toks)
 
     tuples: Set[Tuple[str, ...]] = set()
