@@ -22,11 +22,6 @@ EXCEPTIONS = {
     "--cache_dir": "reference multiprocessing cache dir; the RAM cache here is in-process",
     "--num_gpus": "as --gpus",
     "--load_as_float16": "superseded by eval_model --cast {bf16,fp16} (bf16 is the TPU dtype)",
-    "--images_root": "legacy prepro_labels.py (unused upstream)",
-    "--output_h5": "legacy prepro_labels.py (h5 label store; labels are tokenized on the fly here)",
-    "--output_json": "legacy prepro_labels.py (unused upstream)",
-    "--max_length": "legacy prepro_labels.py (superseded by --max_seq_length)",
-    "--word_count_threshold": "legacy prepro_labels.py; word tokenizer applies vocab_size instead",
     "--reduce_on_plateau": "declared but not implemented in the reference (opts.py dead flag)",
     "--skip_check_train_file": "reference tokenizer-cache guard; tokenizer artifacts are rebuilt deterministically here",
 }
