@@ -268,8 +268,17 @@ class _NP:
         self.attrs: List[Tuple[str, str]] = []
 
 
+# irregular plurals the suffix stemmer can't merge with their singulars
+IRREGULAR_NOUNS = {
+    "men": "man", "women": "woman", "children": "child", "people": "person",
+    "feet": "foot", "teeth": "tooth", "geese": "goose", "mice": "mouse",
+    "sheep": "sheep", "cattle": "cow", "leaves": "leaf", "shelves": "shelf",
+    "knives": "knife", "loaves": "loaf", "wolves": "wolf", "calves": "calf",
+}
+
+
 def _norm(word: str) -> str:
-    return " ".join(stem(w) for w in word.split())
+    return " ".join(stem(IRREGULAR_NOUNS.get(w, w)) for w in word.split())
 
 
 def parse_scene_graph(tokens: Sequence[str]) -> Set[Tuple[str, ...]]:
@@ -310,7 +319,9 @@ def parse_scene_graph(tokens: Sequence[str]) -> Set[Tuple[str, ...]]:
                 mods.append((tags[i], toks[i]))
                 i += 1
             if not mods:
-                i += 1
+                # bare determiner ("the" at end / before a non-NP token):
+                # i already advanced past it — reprocess the next token
+                # under its own branch
                 continue
             # head = last noun in the chunk, else last token
             head_idx = max((k for k, (t, _) in enumerate(mods) if t == "NOUN"),
