@@ -89,7 +89,7 @@ MULTIWORD_PREPS = [
 COPULAS = {
     "is", "are", "was", "were", "be", "been", "being", "am",
     "has", "have", "had", "do", "does", "did", "can", "could", "will",
-    "would", "there", "appears", "appear", "seems", "seem", "looks_like",
+    "would", "there", "appears", "appear", "seems", "seem",
 }
 CONJS = {"and", "or", ",", "while", "as", "that", "which", "who", "whom", "where", "when"}
 ADJS = {

@@ -303,3 +303,25 @@ def test_train_e2e_mesh_zero_and_resume_resharded(fixture_dataset, tmp_path):
     # resumed, not restarted — and the restored state is sharded again
     assert mod_b.global_step > mod_a.global_step
     assert data_sharded(mod_b.state.opt_w), "restored optimizer state must be re-sharded"
+
+
+def test_zero_mask_opt_state_sharding():
+    """--zero_opt also shards the MASK optimizer's moments (supermask logits
+    are kernel-sized: at 95%-sparsity training they are half the optimizer
+    memory); the masks themselves stay replicated (shared-draw semantics)."""
+    import optax
+
+    from sparse_caption_tpu.parallel import opt_state_sharding
+
+    mesh = make_mesh("4,2")
+    masks = {"encoder_layers_0": {"feed_forward": {"w_1": {"mask": jnp.ones((8, 16))},
+                                                   "w_2": {"mask": jnp.ones((16, 8))}}},
+             "norm": {"scale_like": jnp.ones((6,))}}  # indivisible 1-D: untouched
+    opt = optax.adam(100.0, eps=1e-2)
+    sh = opt_state_sharding(opt.init(masks), masks, mesh, zero=True)
+    adam = sh[0]
+    specs = {"/".join(getattr(k, "key", str(k)) for k in path): s.spec
+             for path, s in jax.tree_util.tree_flatten_with_path(adam.mu)[0]}
+    assert specs["encoder_layers_0/feed_forward/w_1/mask"] == P("data", "model")
+    assert specs["encoder_layers_0/feed_forward/w_2/mask"] == P("model", "data")
+    assert specs["norm/scale_like"] == P()  # 6 % 4 != 0 -> replicated
