@@ -1,0 +1,168 @@
+"""Pipeline parallelism (GPipe-style) over the decoder layer stack.
+
+New TPU-native capability (the reference is single-GPU — SURVEY §2.11);
+completes the mesh story alongside data parallelism, Megatron tensor
+parallelism, and ZeRO-1 optimizer sharding (``parallel/mesh.py``):
+
+* the decoder's homogeneous layers are **stacked** along a leading layer
+  axis and sharded over a 1-D ``("pipe",)`` mesh axis — each stage holds
+  ``L / n_stages`` contiguous layers;
+* the batch splits into microbatches that flow through the stages in the
+  classic GPipe schedule (Huang et al. 2019): at tick ``t`` stage ``s``
+  processes microbatch ``t - s``, activations hop to the next stage with
+  one ``lax.ppermute`` per tick (a point-to-point ICI neighbor transfer,
+  NOT an all-to-all), and the last stage accumulates outputs;
+* everything is expressed with ``shard_map`` + collectives — no
+  hand-written sends/receives, and XLA overlaps the ppermute with the
+  next tick's compute.
+
+Scope: eval-mode (deterministic) forward of the *dense* decoder stack —
+the demonstration target is the sharding/communication pattern, pinned
+numerically equal to the sequential ``Transformer._decode_full``
+(tests/test_parallel.py). Bubble fraction is the usual
+``(P-1) / (M+P-1)``; choose ``n_micro >> n_stages`` in real use.
+
+Why layers-as-scan works here: all decoder layers of every model family
+(transformer / ORT / ACORT without ``share_layer``) are instances of one
+``DecoderLayer`` module, so their param pytrees stack leaf-wise and a
+single ``lax.scan`` applies a stage's layer slice in order.
+
+Sequence parallelism and expert parallelism are deliberately absent
+framework-wide: sequences are ≤30 tokens / 36 regions (nothing to shard)
+and no model family is MoE (SURVEY §5.7's N/A-by-design statement).
+"""
+
+from __future__ import annotations
+
+from typing import Any, Dict, Sequence
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax import lax
+from jax.sharding import Mesh, PartitionSpec as P
+
+try:  # jax >= 0.6 exports it at the top level
+    from jax import shard_map as _shard_map
+except ImportError:  # pragma: no cover - older jax
+    from jax.experimental.shard_map import shard_map as _shard_map
+
+PIPE_AXIS = "pipe"
+
+
+def make_pipe_mesh(n_stages: int, devices: Sequence[Any] = None) -> Mesh:
+    """1-D mesh over the first ``n_stages`` devices, axis ``"pipe"``."""
+    devices = list(devices) if devices is not None else jax.devices()
+    assert len(devices) >= n_stages, (
+        f"pipe mesh needs {n_stages} devices, have {len(devices)}")
+    return Mesh(np.array(devices[:n_stages]), (PIPE_AXIS,))
+
+
+def decoder_layer_keys(params: Dict[str, Any]):
+    keys = [k for k in params if k.startswith("decoder_layers_")]
+    return sorted(keys, key=lambda s: int(s.rsplit("_", 1)[1]))
+
+
+def stack_decoder_layers(params: Dict[str, Any]):
+    """Stack the per-layer param pytrees along a new leading layer axis."""
+    keys = decoder_layer_keys(params)
+    assert keys, "no decoder_layers_* params found"
+    return jax.tree.map(lambda *xs: jnp.stack(xs), *[params[k] for k in keys])
+
+
+def _layer_module(model):
+    # mirror of Transformer._setup_decoder's DecoderLayer construction
+    from sparse_caption_tpu.models.transformer import DecoderLayer
+
+    return DecoderLayer(model.d_model, model.num_heads, model.dim_feedforward,
+                        model.dropout_rate, model.share_att_decoder, model.mask_cfg)
+
+
+def pipelined_decoder_stack(model, params: Dict[str, Any], x, memory, src_mask,
+                            tgt_mask, mesh: Mesh, n_micro: int):
+    """Run the decoder layer stack pipeline-parallel over ``mesh``.
+
+    x: (B, T, D) embedded+position-encoded decoder input; memory: (B, S, D);
+    src_mask: (B, 1, 1, S); tgt_mask: (B, 1, T, T). Returns the stack
+    output (B, T, D) — pre-``decoder_norm``, like the sequential loop in
+    ``Transformer._decode_full``.
+    """
+    assert getattr(model, "share_layer_decoder", None) is None, (
+        "pipeline parallelism needs one param set per layer (no share_layer)")
+    assert getattr(model, "mask_cfg", None) is None, (
+        "pipelined stack demo covers dense models (masks collection not plumbed)")
+    n_stages = mesh.shape[PIPE_AXIS]
+    keys = decoder_layer_keys(params)
+    n_layers = len(keys)
+    assert n_layers % n_stages == 0, (
+        f"{n_layers} decoder layers do not divide into {n_stages} stages")
+    b = x.shape[0]
+    assert b % n_micro == 0, f"batch {b} not divisible by n_micro={n_micro}"
+    mb = b // n_micro
+
+    stacked = stack_decoder_layers(params)
+
+    def split(a):
+        a = jnp.broadcast_to(a, (b,) + a.shape[1:])
+        return a.reshape((n_micro, mb) + a.shape[1:])
+
+    xs, mems, smasks, tmasks = (split(a) for a in (x, memory, src_mask, tgt_mask))
+    layer_mod = _layer_module(model)
+
+    def stage_fn(lp, xs, mems, smasks, tmasks):
+        idx = lax.axis_index(PIPE_AXIS)
+        m_total = xs.shape[0]
+
+        def apply_stack(h, mem, sm, tm):
+            def body(h, p):
+                return layer_mod.apply({"params": p}, h, mem, sm, tm, train=False), None
+
+            h, _ = lax.scan(body, h, lp)
+            return h
+
+        out = jnp.zeros_like(xs)
+        carry = jnp.zeros(xs.shape[1:], xs.dtype)
+        # GPipe schedule: tick t, stage s works on microbatch m = t - s
+        for t in range(m_total + n_stages - 1):
+            m = jnp.clip(t - idx, 0, m_total - 1)
+
+            def take(a):
+                return lax.dynamic_index_in_dim(a, m, 0, keepdims=False)
+
+            x_in = jnp.where(idx == 0, take(xs), carry)
+            y = apply_stack(x_in, take(mems), take(smasks), take(tmasks))
+            active = jnp.logical_and(t - idx >= 0, t - idx <= m_total - 1)
+            write = jnp.logical_and(active, idx == n_stages - 1)
+            out = jnp.where(write, lax.dynamic_update_index_in_dim(out, y, m, 0), out)
+            if n_stages > 1:
+                # neighbor hop stage s -> s+1 (non-receivers get zeros)
+                carry = lax.ppermute(y, PIPE_AXIS,
+                                     [(i, i + 1) for i in range(n_stages - 1)])
+        # only the last stage holds real outputs; psum replicates them
+        return lax.psum(jnp.where(idx == n_stages - 1, out, jnp.zeros_like(out)),
+                        PIPE_AXIS)
+
+    specs_p = jax.tree.map(lambda _: P(PIPE_AXIS), stacked)
+    f = _shard_map(stage_fn, mesh=mesh,
+                   in_specs=(specs_p, P(), P(), P(), P()), out_specs=P())
+    y = jax.jit(f)(stacked, xs, mems, smasks, tmasks)
+    return y.reshape((b,) + y.shape[2:])
+
+
+def pipelined_decode_full(model, variables: Dict[str, Any], tgt, memory_pytree,
+                          mesh: Mesh, n_micro: int):
+    """Pipeline-parallel equivalent of the eval-mode
+    ``Transformer._decode_full`` (embed + stack + final norm): tgt (B, T)
+    tokens → decoder output (B, T, D). Numerically equal to the sequential
+    forward (pinned by tests)."""
+    from sparse_caption_tpu.models.transformer import subsequent_mask
+
+    memory, mem_mask = memory_pytree["memory"], memory_pytree["mask"]
+    t = tgt.shape[1]
+    tgt_mask = (tgt != model.pad_id)[:, None, None, :] & subsequent_mask(t)
+    src_mask = mem_mask[:, None, None, :]
+    x = model.apply(variables, tgt,
+                    method=lambda m, tg: m.pos_enc(m.tgt_embed(tg, False), train=False))
+    y = pipelined_decoder_stack(model, variables["params"], x, memory,
+                                src_mask, tgt_mask, mesh, n_micro)
+    return model.apply(variables, y, method=lambda m, h: m.decoder_norm(h))

@@ -325,3 +325,45 @@ def test_zero_mask_opt_state_sharding():
     assert specs["encoder_layers_0/feed_forward/w_1/mask"] == P("data", "model")
     assert specs["encoder_layers_0/feed_forward/w_2/mask"] == P("model", "data")
     assert specs["norm/scale_like"] == P()  # 6 % 4 != 0 -> replicated
+
+
+# ---------------------------------------------------------------- pipeline
+
+def _tiny_transformer_forward():
+    from sparse_caption_tpu.models.transformer import Transformer
+
+    model = Transformer(vocab_size=16, d_model=8, dim_feedforward=16, num_layers=4,
+                        num_heads=2, att_feat_size=4, max_seq_length=5)
+    rng = jax.random.PRNGKey(0)
+    att = jax.random.normal(rng, (8, 3, 4))
+    amask = jnp.ones((8, 3))
+    tgt = jax.random.randint(jax.random.PRNGKey(1), (8, 5), 0, 16)
+    vs = model.init({"params": rng}, att, amask, tgt)
+    memory = model.apply(vs, att, amask, method=Transformer.encode)
+    seq = model.apply(vs, tgt, memory["memory"], memory["mask"], False,
+                      method=Transformer._decode_full)
+    return model, vs, tgt, memory, seq
+
+
+@pytest.mark.parametrize("n_stages,n_micro", [(4, 4), (2, 4), (4, 8), (1, 2)])
+def test_pipeline_decoder_matches_sequential(n_stages, n_micro):
+    """GPipe-microbatched decoder stack over a ("pipe",) mesh equals the
+    sequential layer loop — for 1 layer/stage, 2 layers/stage (in-stage
+    lax.scan), more microbatches than stages, and the degenerate 1-stage
+    pipe."""
+    from sparse_caption_tpu.parallel.pipeline import make_pipe_mesh, pipelined_decode_full
+
+    model, vs, tgt, memory, seq = _tiny_transformer_forward()
+    mesh = make_pipe_mesh(n_stages)
+    out = pipelined_decode_full(model, vs, tgt, memory, mesh, n_micro=n_micro)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(seq), rtol=2e-5, atol=2e-6)
+
+
+def test_pipeline_guards():
+    from sparse_caption_tpu.parallel.pipeline import make_pipe_mesh, pipelined_decode_full
+
+    model, vs, tgt, memory, _ = _tiny_transformer_forward()
+    with pytest.raises(AssertionError, match="stages"):
+        pipelined_decode_full(model, vs, tgt, memory, make_pipe_mesh(3), n_micro=4)
+    with pytest.raises(AssertionError, match="n_micro"):
+        pipelined_decode_full(model, vs, tgt, memory, make_pipe_mesh(2), n_micro=3)
