@@ -45,3 +45,32 @@ def test_overfit_fixture(fixture_dataset, tmp_path):
         pred = m.tokenizer.decode(np.asarray(seq[i, 0]))
         memorized += pred in batch["gts"][i]
     assert memorized >= 1, "overfit model failed to reproduce any training caption"
+
+
+def test_scst_improves_cider():
+    """The paper's training recipe rests on SCST raising CIDEr after XE
+    pre-training (reference README.md:84-96 gains ~10 CIDEr from SCST on
+    the dense baselines). The equivalence tests prove our REINFORCE update
+    matches the fused oracle; this pins the OPTIMIZATION claim itself:
+    from an under-trained XE start on a memorizable synthetic task,
+    device-reward SCST must raise the greedy-decode CIDEr-D (paper-scale
+    on-chip trajectory: scripts/check_scst_improves.py, STATUS.md)."""
+    import json
+    import os
+    import subprocess
+    import sys as _sys
+
+    r = subprocess.run(
+        [_sys.executable,
+         os.path.join(os.path.dirname(__file__), "..", "scripts", "check_scst_improves.py"),
+         "--platform", "cpu", "--d_model", "32", "--dim_feedforward", "64",
+         "--num_layers", "1", "--num_heads", "2", "--vocab_size", "64",
+         "--att_feat_size", "16", "--regions", "4", "--max_len", "9",
+         "--images", "8", "--batch_images", "4", "--xe_steps", "120",
+         "--scst_steps", "120", "--scst_num_samples", "8", "--eval_every", "40"],
+        capture_output=True, text=True, timeout=1800,
+    )
+    assert r.returncode == 0, r.stderr[-3000:]
+    out = json.loads(r.stdout.strip().splitlines()[-1])
+    assert out["improved"], out
+    assert out["cider_after"] > out["cider_before"], out
