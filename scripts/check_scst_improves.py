@@ -36,7 +36,10 @@ import numpy as np
 
 def main() -> None:
     ap = argparse.ArgumentParser()
-    ap.add_argument("--platform", type=str, default=None, choices=[None, "cpu", "tpu"])
+    ap.add_argument("--platform", type=str, default=None,
+                    help="pin jax platform (e.g. cpu); default auto-selects "
+                         "the TPU backend when present (the axon plugin "
+                         "registers as 'axon', not 'tpu')")
     ap.add_argument("--d_model", type=int, default=512)
     ap.add_argument("--dim_feedforward", type=int, default=2048)
     ap.add_argument("--num_layers", type=int, default=6)
@@ -58,11 +61,10 @@ def main() -> None:
     ap.add_argument("--out", type=str, default=None)
     args = ap.parse_args()
 
-    import jax
+    from sparse_caption_tpu.utils.jax_setup import enable_persistent_cache, select_platform
 
-    if args.platform:
-        jax.config.update("jax_platforms", args.platform)
-    from sparse_caption_tpu.utils.jax_setup import enable_persistent_cache
+    select_platform(args.platform)
+    import jax
 
     enable_persistent_cache()
     import jax.numpy as jnp
