@@ -74,3 +74,38 @@ def test_scst_improves_cider():
     out = json.loads(r.stdout.strip().splitlines()[-1])
     assert out["improved"], out
     assert out["cider_after"] > out["cider_before"], out
+
+
+def test_sparse_quality_pipeline():
+    """End-to-end paper pipeline probe (scripts/check_sparse_quality.py):
+    dense warmup -> matched-horizon [dense control | supermask prune] arms
+    -> binarize -> mask-freeze SCST, all scored with greedy CIDEr-D. At
+    this toy scale (d32/1L, 90% target) the test pins the MECHANICS — the
+    sparsity endpoint and the sparse model staying in the dense control's
+    quality neighborhood; the paper-scale quality verdicts live in the
+    on-chip artifact (resources/sparse_quality_ort512.json, STATUS.md)."""
+    import json
+    import os
+    import subprocess
+    import sys as _sys
+
+    r = subprocess.run(
+        [_sys.executable,
+         os.path.join(os.path.dirname(__file__), "..", "scripts", "check_sparse_quality.py"),
+         "--platform", "cpu", "--d_model", "32", "--dim_feedforward", "64",
+         "--num_layers", "1", "--num_heads", "2", "--vocab_size", "64",
+         "--att_feat_size", "16", "--regions", "4", "--max_len", "9",
+         "--images", "8", "--batch_images", "4", "--xe_steps", "200",
+         "--prune_steps", "1000", "--chunk", "20", "--sparsity_target", "0.9",
+         "--sparsity_weight", "30", "--scst_steps", "40",
+         "--scst_batch_images", "4", "--scst_num_samples", "16"],
+        capture_output=True, text=True, timeout=1800,
+    )
+    assert r.returncode == 0, r.stderr[-3000:]
+    out = json.loads(r.stdout.strip().splitlines()[-1])
+    assert out["sparsity_on_target"], out
+    # the supermask arm must stay in the dense control's quality
+    # neighborhood (paper-scale chips land ~1.0x; toy d32@90% gives ~0.84)
+    assert out["cider_sparse"] >= 0.7 * out["cider_dense_control"], out
+    # SCST on an at-ceiling toy model may wobble but must not collapse
+    assert out["cider_sparse_scst"] >= 0.7 * out["cider_sparse"], out
