@@ -79,7 +79,7 @@ def _layer_module(model):
 
 
 def pipelined_decoder_stack(model, params: Dict[str, Any], x, memory, src_mask,
-                            tgt_mask, mesh: Mesh, n_micro: int):
+                            tgt_mask, mesh: Mesh, n_micro: int, stacked=None):
     """Run the decoder layer stack pipeline-parallel over ``mesh``.
 
     x: (B, T, D) embedded+position-encoded decoder input; memory: (B, S, D);
@@ -100,7 +100,8 @@ def pipelined_decoder_stack(model, params: Dict[str, Any], x, memory, src_mask,
     assert b % n_micro == 0, f"batch {b} not divisible by n_micro={n_micro}"
     mb = b // n_micro
 
-    stacked = stack_decoder_layers(params)
+    if stacked is None:
+        stacked = stack_decoder_layers(params)
 
     def split(a):
         a = jnp.broadcast_to(a, (b,) + a.shape[1:])
@@ -121,7 +122,12 @@ def pipelined_decoder_stack(model, params: Dict[str, Any], x, memory, src_mask,
             return h
 
         out = jnp.zeros_like(xs)
-        carry = jnp.zeros(xs.shape[1:], xs.dtype)
+        # warmup/drain ticks run the stack on a discarded input; seed the
+        # carry with REAL data (microbatch 0), not zeros — a constant input
+        # makes LayerNorm's std exactly 0, whose sqrt-at-0 derivative is
+        # inf, and the zero cotangent times inf poisons the whole backward
+        # with NaNs (forward-only eval never sees this)
+        carry = lax.dynamic_index_in_dim(xs, 0, 0, keepdims=False)
         # GPipe schedule: tick t, stage s works on microbatch m = t - s
         for t in range(m_total + n_stages - 1):
             m = jnp.clip(t - idx, 0, m_total - 1)
@@ -166,3 +172,55 @@ def pipelined_decode_full(model, variables: Dict[str, Any], tgt, memory_pytree,
     y = pipelined_decoder_stack(model, variables["params"], x, memory,
                                 src_mask, tgt_mask, mesh, n_micro)
     return model.apply(variables, y, method=lambda m, h: m.decoder_norm(h))
+
+
+def pipeline_xe_loss_and_grads(model, variables: Dict[str, Any], seqs,
+                               memory_pytree, mesh: Mesh, n_micro: int):
+    """XE teacher-forced loss + FULL param-tree gradients with the decoder
+    stack executed pipeline-parallel (GPipe backward: XLA differentiates
+    the tick loop, so activation grads hop the stages in reverse with the
+    transposed ``ppermute`` — still zero hand-written collectives).
+
+    ``seqs``: (N, T) with BOS; memory rows repeat to N like
+    ``Transformer.decode_teacher_forced``. Deterministic (no dropout):
+    the demonstration target is the sharded compute/communication
+    structure, pinned by gradient equality vs the sequential backward
+    (tests/test_parallel.py). Returns ``(loss, grads)`` where the
+    stage-sharded layer grads are unstacked back into the params tree, so
+    any optax optimizer applies unchanged."""
+    import jax.numpy as _jnp
+
+    from sparse_caption_tpu.engine import losses as losses_mod
+    from sparse_caption_tpu.models.transformer import subsequent_mask
+
+    params = variables["params"]
+    memory, mem_mask = memory_pytree["memory"], memory_pytree["mask"]
+    tgt = seqs[:, :-1]
+    if memory.shape[0] != tgt.shape[0]:
+        assert tgt.shape[0] % memory.shape[0] == 0
+        spi = tgt.shape[0] // memory.shape[0]
+        memory = _jnp.repeat(memory, spi, axis=0)
+        mem_mask = _jnp.repeat(mem_mask, spi, axis=0)
+    t = tgt.shape[1]
+    tgt_mask = (tgt != model.pad_id)[:, None, None, :] & subsequent_mask(t)
+    src_mask = mem_mask[:, None, None, :]
+    seq_mask = (seqs[:, 1:] != model.pad_id).astype(_jnp.float32)
+    layer_keys = decoder_layer_keys(params)
+    stacked = stack_decoder_layers(params)
+
+    def loss_fn(p, stacked_layers):
+        x = model.apply({"params": p}, tgt,
+                        method=lambda m, tg: m.pos_enc(m.tgt_embed(tg, False), train=False))
+        y = pipelined_decoder_stack(model, p, x, memory, src_mask, tgt_mask,
+                                    mesh, n_micro, stacked=stacked_layers)
+        lp = model.apply({"params": p}, y,
+                         method=lambda m, h: m.generator(m.decoder_norm(h), False))
+        return losses_mod.language_model_loss(lp, seqs[:, 1:], seq_mask)
+
+    loss, (g_p, g_stacked) = jax.value_and_grad(loss_fn, argnums=(0, 1))(params, stacked)
+    # the pipelined path reads the STACKED copy, so g_p's decoder_layers_*
+    # entries are zeros — replace them with the unstacked per-stage grads
+    grads = {**g_p}
+    for i, k in enumerate(layer_keys):
+        grads[k] = jax.tree.map(lambda a, _i=i: a[_i], g_stacked)
+    return loss, grads
