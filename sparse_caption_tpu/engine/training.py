@@ -300,7 +300,8 @@ class TrainingModule:
             from sparse_caption_tpu.parallel import shard_state
 
             self.state = shard_state(self.state, self.mesh,
-                                     zero_opt=bool(self.config.get("zero_opt")))
+                                     zero_opt=bool(self.config.get("zero_opt")),
+                                     fsdp=bool(self.config.get("fsdp")))
         # parameter census (reference train_transformer.py:36-50); the
         # per-tensor breakdown feeds collect_scores' param-group sums
         n_params = sum(x.size for x in jax.tree.leaves(params))
@@ -1074,7 +1075,8 @@ class TrainingModule:
             from sparse_caption_tpu.parallel import shard_state
 
             self.state = shard_state(self.state, self.mesh,
-                                     zero_opt=bool(self.config.get("zero_opt")))
+                                     zero_opt=bool(self.config.get("zero_opt")),
+                                     fsdp=bool(self.config.get("fsdp")))
 
         xe_step = self.make_xe_step()
         scst_step = None

@@ -112,6 +112,11 @@ def add_training_args(parser) -> None:
                         help="ZeRO-1: shard optimizer moments over the mesh data axis "
                              "(1/dp optimizer memory; XLA derives the reduce-scatter/"
                              "all-gather collectives)")
+    parser.add_argument("--fsdp", action="store_true",
+                        help="ZeRO-3 / fully-sharded data parallel: shard the params "
+                             "themselves over the mesh data axis (1/dp parameter + "
+                             "optimizer memory; XLA derives the just-in-time all-gather "
+                             "and gradient reduce-scatter collectives)")
     parser.add_argument("--platform", type=str, default=None, choices=[None, "cpu", "tpu"],
                         help="pin the JAX platform (overrides environment plugins)")
     parser.add_argument("--profile_dir", type=str, default=None,

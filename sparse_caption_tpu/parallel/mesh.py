@@ -104,21 +104,32 @@ def _param_spec(path_names, leaf) -> P:
         "so a module rename cannot silently de-parallelize the model.")
 
 
-def param_sharding(params: Any, mesh: Mesh) -> Any:
+def param_sharding(params: Any, mesh: Mesh, fsdp: bool = False) -> Any:
     """NamedSharding pytree for params: TP on attention/FFN kernels when the
-    model axis is >1, replicated otherwise."""
+    model axis is >1, replicated otherwise.
+
+    ``fsdp=True`` (ZeRO-3 / fully-sharded data parallel, expressed purely
+    as shardings): every param additionally shards its first free divisible
+    axis over ``data``, so parameter memory scales 1/dp. XLA derives the
+    collectives — forward/backward all-gather each kernel just-in-time and
+    gradients reduce-scatter back to the shard (the scaling-book recipe;
+    no hand-written comms)."""
     flat = jax.tree_util.tree_flatten_with_path(params)[0]
 
     def name_of(k):
         return getattr(k, "key", getattr(k, "name", str(k)))
 
+    dp = mesh.shape[DATA_AXIS]
     specs = {}
     for path, leaf in flat:
         names = tuple(name_of(k) for k in path)
         if mesh.shape[MODEL_AXIS] > 1:
-            specs[names] = _param_spec(names, leaf)
+            spec = _param_spec(names, leaf)
         else:
-            specs[names] = P()
+            spec = P()
+        if fsdp:
+            spec = _zero_spec(spec, leaf, dp)
+        specs[names] = spec
     treedef = jax.tree_util.tree_structure(params)
     flat_specs = [NamedSharding(mesh, specs[tuple(name_of(k) for k in path)]) for path, _ in flat]
     return jax.tree_util.tree_unflatten(treedef, flat_specs)
@@ -130,7 +141,7 @@ def _zero_spec(spec: P, leaf, dp: int) -> P:
     gets sharded over ``data``; otherwise the leaf stays as-is (tiny or
     indivisible tensors aren't worth a gather)."""
     ndim = getattr(leaf, "ndim", 0)
-    if ndim == 0 or dp <= 1:
+    if ndim == 0 or dp <= 1 or DATA_AXIS in tuple(spec):
         return spec
     parts = list(spec) + [None] * (ndim - len(spec))
     for ax in range(ndim):
@@ -141,7 +152,7 @@ def _zero_spec(spec: P, leaf, dp: int) -> P:
 
 
 def opt_state_sharding(opt_state: Any, params: Any, mesh: Mesh,
-                       zero: bool = False) -> Any:
+                       zero: bool = False, fsdp: bool = False) -> Any:
     """Sharding pytree for an optax state, structure-matched to the params:
     any sub-tree with the params' exact tree structure (adam mu/nu, etc.)
     gets the params' TP shardings; scalars/counters are replicated.
@@ -151,8 +162,12 @@ def opt_state_sharding(opt_state: Any, params: Any, mesh: Mesh,
     first free divisible axis over the ``data`` axis, so optimizer memory
     scales 1/dp. XLA derives the collectives: gradients reduce-scatter
     into the sharded moment update and the weight update all-gathers back
-    onto the replicated params — no hand-written comms."""
-    p_shard = param_sharding(params, mesh)
+    onto the replicated params — no hand-written comms.
+
+    ``fsdp=True``: moments match the fully-sharded param specs exactly
+    (params already carry the ``data`` axis; ``_zero_spec`` is then a
+    no-op, so ``zero`` composes harmlessly)."""
+    p_shard = param_sharding(params, mesh, fsdp=fsdp)
     p_def = jax.tree_util.tree_structure(params)
     repl = NamedSharding(mesh, P())
     dp = mesh.shape[DATA_AXIS]
@@ -174,21 +189,29 @@ def opt_state_sharding(opt_state: Any, params: Any, mesh: Mesh,
     )
 
 
-def shard_state(state: Any, mesh: Mesh, zero_opt: bool = False) -> Any:
-    """Device-put a TrainState: params under TP shardings; optimizer moments
-    structure-matched to their params (mu/nu shard with the kernel they
-    track), additionally ZeRO-1-sharded over ``data`` when ``zero_opt``;
-    masks and counters replicated."""
-    p_shard = param_sharding(state.params, mesh)
+def shard_state(state: Any, mesh: Mesh, zero_opt: bool = False,
+                fsdp: bool = False) -> Any:
+    """Device-put a TrainState: params under TP shardings (fully sharded
+    over ``data`` too when ``fsdp``); optimizer moments structure-matched
+    to their params (mu/nu shard with the kernel they track), additionally
+    ZeRO-1-sharded over ``data`` when ``zero_opt``; masks and counters
+    replicated (masks keep the reference's shared-draw semantics — every
+    data shard must see the same Bernoulli mask per forward)."""
+    p_shard = param_sharding(state.params, mesh, fsdp=fsdp)
     repl = NamedSharding(mesh, P())
     new = state.replace(params=jax.tree.map(jax.device_put, state.params, p_shard))
     if hasattr(new, "opt_w"):
-        ow_shard = opt_state_sharding(new.opt_w, state.params, mesh, zero=zero_opt)
+        ow_shard = opt_state_sharding(new.opt_w, state.params, mesh,
+                                      zero=zero_opt, fsdp=fsdp)
         new = new.replace(opt_w=jax.tree.map(jax.device_put, new.opt_w, ow_shard))
-    if zero_opt and hasattr(new, "opt_m") and jax.tree.leaves(getattr(new, "masks", {})):
+    shard_opt_m = (zero_opt or fsdp) and hasattr(new, "opt_m") \
+        and jax.tree.leaves(getattr(new, "masks", {}))
+    if shard_opt_m:
+        # mask-logit moments ZeRO-shard over data even under fsdp: the masks
+        # themselves stay replicated, so their moments get the zero spec
         om_shard = opt_state_sharding(new.opt_m, state.masks, mesh, zero=True)
         new = new.replace(opt_m=jax.tree.map(jax.device_put, new.opt_m, om_shard))
-    for field in ("masks", "step") + (() if zero_opt else ("opt_m",)):
+    for field in ("masks", "step") + (() if shard_opt_m else ("opt_m",)):
         if hasattr(new, field):
             new = new.replace(**{field: jax.tree.map(lambda x: jax.device_put(x, repl), getattr(new, field))})
     return new

@@ -327,6 +327,77 @@ def test_zero_mask_opt_state_sharding():
     assert specs["norm/scale_like"] == P()  # 6 % 4 != 0 -> replicated
 
 
+def test_fsdp_param_sharding_specs():
+    """--fsdp (ZeRO-3): the params THEMSELVES shard their first free
+    divisible axis over data, composing with the Megatron TP axis; tiny or
+    indivisible leaves stay replicated."""
+    from sparse_caption_tpu.models.transformer import Transformer
+
+    mesh = make_mesh("4,2")
+    m = Transformer(vocab_size=16, d_model=8, dim_feedforward=16, num_layers=1,
+                    num_heads=2, att_feat_size=4, max_seq_length=5)
+    params = m.init({"params": jax.random.PRNGKey(0)}, jnp.ones((2, 3, 4)), jnp.ones((2, 3)),
+                    jnp.ones((2, 5), jnp.int32))["params"]
+    sh = param_sharding(params, mesh, fsdp=True)
+    specs = {"/".join(getattr(k, "key", str(k)) for k in path): s.spec
+             for path, s in jax.tree_util.tree_flatten_with_path(sh)[0]}
+    # col-parallel (8, 16): axis1 carries "model"; axis0 8 % dp 4 == 0
+    assert specs["encoder_layers_0/feed_forward/w_1/kernel"] == P("data", "model")
+    # row-parallel (16, 8): axis0 carries "model"; axis1 8 % 4 == 0
+    assert specs["encoder_layers_0/feed_forward/w_2/kernel"] == P("model", "data")
+    # TP-replicated (16, 8) embedding fully shards axis0 over data
+    assert specs["tgt_embed/lut/embedding"] == P("data", None)
+    # 1-D bias of size 8 shards; a scalar-sized norm stays replicated
+    assert specs["encoder_layers_0/feed_forward/w_2/bias"] == P("data")
+    # fsdp=False leaves params TP-only (no data axis anywhere)
+    sh_tp = param_sharding(params, mesh, fsdp=False)
+    assert all("data" not in str(s.spec) for s in jax.tree.leaves(sh_tp))
+
+
+def test_fsdp_step_matches_single_device(fixture_dataset, tmp_path):
+    """--fsdp under a dp x tp mesh: one XE step reproduces the single-device
+    update, and the updated params REMAIN data-sharded after the jitted
+    step (the 1/dp parameter memory persists; XLA derives the just-in-time
+    all-gathers and the gradient reduce-scatter)."""
+    m1 = _built_module(fixture_dataset, tmp_path / "single", None)
+    m2 = _built_module(fixture_dataset, tmp_path / "mesh", "2,2", ["--fsdp"])
+    step1, step2 = m1.make_xe_step(), m2.make_xe_step()
+    batch = next(iter(m1.train_loader))
+    rng = jax.random.PRNGKey(0)
+    s1, loss1, _ = step1(m1.state, m1._model_inputs(batch), jnp.asarray(batch["masks"]), rng)
+    s2, loss2, _ = step2(m2.state, m2._model_inputs(batch), jnp.asarray(batch["masks"]), rng)
+    np.testing.assert_allclose(float(loss1), float(loss2), rtol=1e-5)
+    d = jax.tree.map(lambda a, b: float(jnp.max(jnp.abs(a - b))), s1.params, s2.params)
+    assert max(jax.tree.leaves(d)) < 1e-5
+
+    def data_sharded(tree):
+        return [x for x in jax.tree.leaves(tree)
+                if hasattr(x, "sharding") and "data" in str(getattr(x.sharding, "spec", ""))]
+
+    before_p, after_p = data_sharded(m2.state.params), data_sharded(s2.params)
+    assert before_p, "init params should carry data-sharded leaves under --fsdp"
+    assert len(after_p) >= len(before_p) // 2, (
+        f"params lost their FSDP sharding in the step: {len(before_p)} -> {len(after_p)}")
+    # optimizer moments follow the fully-sharded params
+    assert data_sharded(s2.opt_w), "fsdp moments must stay data-sharded after the step"
+
+
+def test_fsdp_decode_matches_single_device(fixture_dataset, tmp_path):
+    """Beam-5 decode with fully-sharded params emits the same tokens as one
+    device (GSPMD all-gathers each kernel just-in-time inside the scan)."""
+    m1 = _built_module(fixture_dataset, tmp_path / "single", None)
+    m2 = _built_module(fixture_dataset, tmp_path / "mesh", "2,2", ["--fsdp"])
+    batch = next(iter(m1.val_loader))
+    opt = {"beam_size": 5}
+    d1, d2 = m1.make_decode_fn(opt), m2.make_decode_fn(opt)
+    seq1, _ = d1(m1._variables(m1.state), m1._model_inputs(batch, with_seqs=False),
+                 jax.random.PRNGKey(0))
+    with m2.mesh:
+        seq2, _ = d2(m2._variables(m2.state), m2._model_inputs(batch, with_seqs=False),
+                     jax.random.PRNGKey(0))
+    np.testing.assert_array_equal(np.asarray(seq1), np.asarray(seq2))
+
+
 # ---------------------------------------------------------------- pipeline
 
 def _tiny_transformer_forward():
