@@ -91,10 +91,12 @@ def main():
     module.prepare()
     module.init_state()
 
-    if os.path.isfile(args.ckpt):
+    if os.path.isfile(args.ckpt) or str(args.ckpt).endswith(".orbax"):
         ckpt_path = args.ckpt
     else:
-        ckpt_path = os.path.join(args.log_dir, f"model_{args.ckpt}.msgpack")
+        from sparse_caption_tpu.engine.checkpoints import find_ckpt
+
+        ckpt_path = find_ckpt(args.log_dir, f"model_{args.ckpt}")
     if ckpt_path.endswith(".npz"):
         params = sparse_import(dict(np.load(ckpt_path)))
         module.state = module.state.replace(params=jax.tree.map(jax.numpy.asarray, params))

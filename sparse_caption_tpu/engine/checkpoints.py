@@ -10,6 +10,15 @@ exports ``model_best_pruned*.npz``, ``model_best_bin_mask.msgpack``,
 Serialization is flax msgpack over pytrees — the TPU-native analogue of
 torch ``state_dict`` pickles.  Missing/extra keys on restore are logged to
 ``restore_log.txt`` instead of failing (reference utils/training.py:189-199).
+
+``--ckpt_backend orbax`` swaps every ``model_*.msgpack`` file for a
+``model_*.orbax`` directory written by orbax's async checkpointer: the
+save is dispatched from device shards without gathering params to host
+and the write overlaps subsequent training steps (the multi-chip-scale
+checkpoint path — msgpack must first fetch the full state through the
+relay).  ``load_pytree``/``restore_lenient`` dispatch on the artifact
+kind, so every consumer (eval, lottery rewind, sparse export, interop)
+reads either format transparently.
 """
 
 from __future__ import annotations
@@ -23,20 +32,99 @@ from flax import serialization, traverse_util
 
 logger = logging.getLogger(__name__)
 
+ORBAX_SUFFIX = ".orbax"
+_async_ckptr = None  # lazily-built singleton (owns a background thread)
+
+
+def _orbax_checkpointer():
+    global _async_ckptr
+    if _async_ckptr is None:
+        import orbax.checkpoint as ocp
+
+        _async_ckptr = ocp.AsyncCheckpointer(ocp.StandardCheckpointHandler())
+    return _async_ckptr
+
+
+def wait_for_checkpoints() -> None:
+    """Block until any in-flight async orbax save has committed."""
+    if _async_ckptr is not None:
+        _async_ckptr.wait_until_finished()
+
+
+def is_orbax_path(path: str) -> bool:
+    return str(path).endswith(ORBAX_SUFFIX) or os.path.isdir(path)
+
+
+def find_ckpt(dirname: str, stem: str) -> str:
+    """Resolve ``<dirname>/<stem>`` to whichever backend artifact exists
+    (msgpack file preferred, orbax dir otherwise); returns the msgpack
+    path when neither exists so callers produce a familiar error."""
+    msg = os.path.join(dirname, stem + ".msgpack")
+    if os.path.isfile(msg):
+        return msg
+    orb = os.path.join(dirname, stem + ORBAX_SUFFIX)
+    if os.path.isdir(orb):
+        return orb
+    return msg
+
 
 def save_pytree(path: str, tree: Any) -> str:
+    if str(path).endswith(ORBAX_SUFFIX):
+        return save_pytree_orbax(path, tree)
     os.makedirs(os.path.dirname(path) or ".", exist_ok=True)
     with open(path, "wb") as f:
         f.write(serialization.to_bytes(tree))
     return path
 
 
+def save_pytree_orbax(path: str, tree: Any) -> str:
+    """Async sharded save: dispatches per-shard writes and returns; the
+    next save (or ``wait_for_checkpoints``) joins the previous one, so the
+    disk write overlaps training compute."""
+    import orbax.checkpoint as ocp
+
+    ckptr = _orbax_checkpointer()
+    ckptr.wait_until_finished()  # one in-flight save per process
+    # orbax rejects sub-second-mtime overwrites of a *partial* dir; force
+    # replaces the previous artifact of the same tag atomically
+    ckptr.save(os.path.abspath(path), args=ocp.args.StandardSave(tree), force=True)
+    return path
+
+
 def load_pytree(path: str, target: Any = None) -> Any:
+    if is_orbax_path(path):
+        return load_pytree_orbax(path, target)
     with open(path, "rb") as f:
         data = f.read()
     if target is None:
         return serialization.msgpack_restore(data)
     return serialization.from_bytes(target, data)
+
+
+def load_pytree_orbax(path: str, target: Any = None, shardings: Any = None) -> Any:
+    """Restore an orbax artifact.  With ``target`` (and optionally a
+    matching ``shardings`` pytree) the arrays restore strictly onto the
+    target structure — directly onto device shards when shardings are
+    given, no host gather.  Without a target, returns the raw saved tree
+    (host numpy) for lenient merging."""
+    import orbax.checkpoint as ocp
+
+    ckptr = _orbax_checkpointer()
+    ckptr.wait_until_finished()
+    path = os.path.abspath(path)
+    if target is None:
+        return ckptr.restore(path)
+
+    def abstract(leaf, sh):
+        if not hasattr(leaf, "shape"):
+            return leaf
+        return jax.ShapeDtypeStruct(leaf.shape, leaf.dtype, sharding=sh)
+
+    if shardings is None:
+        ab = jax.tree.map(lambda l: abstract(l, None), target)
+    else:
+        ab = jax.tree.map(abstract, target, shardings)
+    return ckptr.restore(path, args=ocp.args.StandardRestore(ab))
 
 
 def restore_lenient(target: Dict, path: str, restore_log: Optional[str] = None) -> Tuple[Dict, list, list]:

@@ -71,8 +71,10 @@ class PruneTrainingModule(TrainingModule):
             # STARTED from, not to this run's fresh random init)
             start_from = config.get("start_from")
             if start_from and os.path.isdir(start_from):
-                init_path = os.path.join(start_from, "model_init.msgpack")
-                if not os.path.isfile(init_path):
+                from sparse_caption_tpu.engine.checkpoints import find_ckpt
+
+                init_path = find_ckpt(start_from, "model_init")
+                if not os.path.exists(init_path):
                     raise FileNotFoundError(
                         f"lottery pruning needs the dense run's init snapshot: {init_path}")
             else:

@@ -113,8 +113,9 @@ class TrainingModule:
             cache=FeatureCache(float(config.get("cache_min_free_ram", 0.2))),
         )
         self.batcher = CaptionBatcher(config, self.tokenizer, self.feature_source)
-        self.checkpoint_path = os.path.join(config.log_dir, "model_{}.msgpack")
-        self.optimizer_path = os.path.join(config.log_dir, "optimizer_{}.msgpack")
+        ckpt_ext = ".orbax" if config.get("ckpt_backend") == "orbax" else ".msgpack"
+        self.checkpoint_path = os.path.join(config.log_dir, "model_{}" + ckpt_ext)
+        self.optimizer_path = os.path.join(config.log_dir, "optimizer_{}" + ckpt_ext)
         # scale-out: data(+tensor)-parallel mesh when --mesh_shape is set
         self.mesh = None
         if config.get("mesh_shape"):
@@ -1026,16 +1027,18 @@ class TrainingModule:
         start_from = config.get("start_from")
         if not start_from:
             return False
-        if os.path.isfile(start_from):
+        from sparse_caption_tpu.engine.checkpoints import find_ckpt
+
+        if os.path.isfile(start_from) or str(start_from).endswith(".orbax"):
             restore_dir, model_file = os.path.dirname(start_from), start_from
         elif os.path.isdir(start_from):
             restore_dir = start_from
             tag = "last" if config.get("resume_training", False) else "best"
-            model_file = os.path.join(start_from, f"model_{tag}.msgpack")
-            if tag == "best" and not os.path.isfile(model_file):
+            model_file = find_ckpt(start_from, f"model_{tag}")
+            if tag == "best" and not os.path.exists(model_file):
                 # e.g. a gated prune run that never reached its sparsity target
                 logger.warning("no model_best in %s; falling back to model_last", start_from)
-                model_file = os.path.join(start_from, "model_last.msgpack")
+                model_file = find_ckpt(start_from, "model_last")
         else:
             raise ValueError(f"start_from must be a file or dir: {start_from}")
         # cross-config checks (reference training.py:160-178)
@@ -1051,8 +1054,8 @@ class TrainingModule:
         merged, _, _ = restore_lenient(target, model_file, restore_log)
         self.state = self.state.replace(params=merged["params"], masks=merged.get("masks", {}))
         if config.get("resume_training", False):
-            opt_file = os.path.join(restore_dir, "optimizer_last.msgpack")
-            if os.path.isfile(opt_file):
+            opt_file = find_ckpt(restore_dir, "optimizer_last")
+            if os.path.exists(opt_file):
                 opt = load_pytree(opt_file, {"opt_w": self.state.opt_w, "opt_m": self.state.opt_m,
                                              "step": self.state.step})
                 self.state = self.state.replace(opt_w=opt["opt_w"], opt_m=opt["opt_m"], step=opt["step"])
@@ -1143,6 +1146,9 @@ class TrainingModule:
                     scst_flush()
                     self.checkpoint_and_eval()
             scst_flush()  # epoch boundary: no grad left in flight
+        from sparse_caption_tpu.engine.checkpoints import wait_for_checkpoints
+
+        wait_for_checkpoints()  # join any in-flight async orbax save
         self.tb.close()
 
     # hooks overridden by the prune trainer

@@ -112,6 +112,12 @@ def add_training_args(parser) -> None:
                         help="ZeRO-1: shard optimizer moments over the mesh data axis "
                              "(1/dp optimizer memory; XLA derives the reduce-scatter/"
                              "all-gather collectives)")
+    parser.add_argument("--ckpt_backend", type=str, default="msgpack",
+                        choices=["msgpack", "orbax"],
+                        help="checkpoint format: msgpack (single-file, reference-style "
+                             "layout) or orbax (async sharded save — per-shard writes "
+                             "dispatched without gathering to host, overlapping "
+                             "training; restore reads either format)")
     parser.add_argument("--fsdp", action="store_true",
                         help="ZeRO-3 / fully-sharded data parallel: shard the params "
                              "themselves over the mesh data axis (1/dp parameter + "
