@@ -382,6 +382,49 @@ def test_fsdp_step_matches_single_device(fixture_dataset, tmp_path):
     assert data_sharded(s2.opt_w), "fsdp moments must stay data-sharded after the step"
 
 
+def test_fsdp_scst_device_reward_step_matches_single_device(fixture_dataset, tmp_path):
+    """--fsdp composes with the device-reward SCST step: fully-sharded
+    params through the sampling scan + in-jit CIDEr-D + grad update match
+    single-device, and params stay data-sharded afterward."""
+    extra = ["--scst_start_epoch", "0", "--scst_num_samples", "3",
+             "--scst_sample", "random", "--scst_baseline", "sample",
+             "--scst_reward", "device"]
+    m1 = _built_module(fixture_dataset, tmp_path / "single", None, extra)
+    m2 = _built_module(fixture_dataset, tmp_path / "mesh", "2,1", extra + ["--fsdp"])
+    s1_fn, s2_fn = m1.make_scst_step(), m2.make_scst_step()
+    s1, loss1, aux1 = s1_fn(m1.state, next(iter(m1.train_loader)))
+    s2, loss2, aux2 = s2_fn(m2.state, next(iter(m2.train_loader)))
+    np.testing.assert_allclose(float(loss1), float(loss2), atol=1e-5)
+    np.testing.assert_allclose(float(aux1["avg_reward"]), float(aux2["avg_reward"]),
+                               atol=1e-5)
+    d = jax.tree.map(lambda a, b: float(jnp.max(jnp.abs(a - b))), s1.params, s2.params)
+    assert max(jax.tree.leaves(d)) < 1e-5
+    assert any("data" in str(getattr(x.sharding, "spec", ""))
+               for x in jax.tree.leaves(s2.params)), "params must stay FSDP-sharded"
+
+
+def test_prune_gradual_on_device_under_mesh(fixture_dataset, tmp_path):
+    """Gradual magnitude pruning (device-side jnp.quantile mask updates)
+    through the full prune train loop under a dp mesh + --fsdp reaches the
+    same sparsity target as single-device."""
+    import os, sys
+
+    sys.path.insert(0, os.path.dirname(__file__))
+    from test_train import TINY_TRANSFORMER, run_train, tiny_args
+
+    extra = ["--prune_type", "mag_grad_uniform", "--prune_sparsity_target", "0.5",
+             "--prune_gradual_frequency", "2", "--max_epochs", "8",
+             "--save_checkpoint_every", "50", "--prune_gradual_on_device",
+             "--mesh_shape", "2,1", "--fsdp"]
+    argv = tiny_args(fixture_dataset, tmp_path / "mesh",
+                     "relation_transformer_prune", TINY_TRANSFORMER + extra)
+    module = run_train(argv, prune=True)
+    from sparse_caption_tpu.pruning.engine import mask_sparsity
+
+    s, _, _ = mask_sparsity(module.state.masks, "mag_grad_uniform")
+    assert abs(float(s) - 0.5) < 0.05
+
+
 def test_fsdp_decode_matches_single_device(fixture_dataset, tmp_path):
     """Beam-5 decode with fully-sharded params emits the same tokens as one
     device (GSPMD all-gathers each kernel just-in-time inside the scan)."""
