@@ -78,9 +78,13 @@ def main():
 
     from sparse_caption_tpu.engine.checkpoints import load_pytree
 
+    from sparse_caption_tpu.engine.checkpoints import find_ckpt
+
     path = os.path.join(args.run_dir, args.ckpt)
-    if not os.path.isfile(path):
-        path = os.path.join(args.run_dir, "model_last.msgpack")
+    if not os.path.exists(path):
+        path = find_ckpt(args.run_dir, os.path.splitext(args.ckpt)[0])
+    if not os.path.exists(path):
+        path = find_ckpt(args.run_dir, "model_last")
     params = load_pytree(path)["params"]
     os.makedirs(args.out_dir, exist_ok=True)
 

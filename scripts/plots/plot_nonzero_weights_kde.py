@@ -53,10 +53,15 @@ PALETTE = ["#2a78d6", "#e07b39", "#3a9a5c", "#b2124d", "#7a5cc0", "#52514e"]
 def load_flat_weights(run_dir: str, model_files: list) -> np.ndarray:
     """Flattened concatenation of all 2-D weight tensors of the first
     checkpoint flavor found in the run dir."""
+    from sparse_caption_tpu.engine.checkpoints import find_ckpt
+
     for name in model_files:
         path = os.path.join(run_dir, name)
         if not os.path.isfile(path):
-            continue
+            # msgpack flavor missing: accept the orbax twin of the same stem
+            path = find_ckpt(run_dir, os.path.splitext(name)[0])
+            if not os.path.isdir(path):
+                continue
         if path.endswith(".npz"):
             from sparse_caption_tpu.pruning.engine import sparse_import
 
