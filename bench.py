@@ -51,18 +51,32 @@ precision (scripts/eval_model.py --cast bf16) and standard TPU practice.
 (SURVEY §6); the baseline constant below is the estimated single-A100
 throughput of the reference PyTorch implementation at beam 5 (batched
 incremental decoding of this architecture), so >1.0 means faster than the
-reference on its own class of hardware. A MEASURED same-hardware anchor
-exists too: scripts/bench_cpu_vs_reference.py runs both implementations on
-the identical CPU (fresh process per sub-bench) — round-3 quiet-host
-numbers: decode 2.09x, XE train step 1.19x, SCST train step 1.94x faster
-than the live reference (fp32, paper-scale ORT).
+reference on its own class of hardware — the estimate basis is labeled in
+the JSON (``vs_baseline_basis``). A MEASURED same-hardware anchor is
+reported alongside (``vs_reference_same_cpu_*``): scripts/
+bench_cpu_vs_reference.py runs both implementations on the identical CPU
+(fresh process per sub-bench) — round-3 quiet-host numbers: decode 2.09x,
+XE train step 1.19x, SCST train step 1.94x faster than the live reference
+(fp32, paper-scale ORT).
+
+Output protocol (round-4 restructure — the round-3 all-or-nothing single
+print at the very end timed out in the driver's capture window, rc=124):
+the PRIMARY decode section runs FIRST and a complete JSON line is printed
+immediately; after every subsequent section the CUMULATIVE JSON is
+re-printed (one line each — the last complete line wins). A global
+wall-clock budget (env SPARSE_CAPTION_BENCH_BUDGET_S, default 1200 s)
+skips remaining sections when exceeded, and a watchdog thread + SIGTERM/
+SIGALRM handlers flush the partial JSON with "truncated": true even if
+the main thread is blocked inside a relay compile.
 """
 
 from __future__ import annotations
 
 import json
 import os
+import signal
 import sys
+import threading
 import time
 from pathlib import Path
 
@@ -71,6 +85,10 @@ sys.path.insert(0, str(Path(__file__).resolve().parent))
 import numpy as np
 
 BASELINE_CAPTIONS_PER_SEC = 100.0  # est. reference impl. on one A100, beam 5
+# Measured same-CPU ratios vs the LIVE reference (scripts/
+# bench_cpu_vs_reference.py, round-3 quiet-host run, fp32 paper-scale ORT).
+MEASURED_SAME_CPU = {"decode": 2.09, "xe": 1.19, "scst": 1.94}
+BUDGET_S = float(os.environ.get("SPARSE_CAPTION_BENCH_BUDGET_S", 1200))
 
 BATCH = int(os.environ.get("BENCH_BATCH", 2048))
 BEAM = 5
@@ -261,14 +279,21 @@ def bench_xe_step(jax, jnp, b: int = 15, bf16_compute: bool = False):
     return n / best
 
 
-def bench_scst_step(jax, jnp, tmp_dir="/tmp/sc_bench", mask_type=None, sparsity=0.95):
+def bench_scst_step(jax, jnp, tmp_dir="/tmp/sc_bench", mask_type=None, sparsity=0.95,
+                    b=5, n_samples=15, device_only=False):
     """Two-phase SCST step: device sample -> host CIDEr-D -> device update.
 
     mask_type="mask_freeze" benches the paper's SPARSE fine-tuning stage
     (commands_pruning.sh:175-196): frozen binary masks at `sparsity` (a
     random pattern — dense-math step time is pattern-independent), legal
     for the teacher-forced-replay and pipelined paths because frozen masks
-    replay deterministically (engine/training.py use_tf_replay)."""
+    replay deterministically (engine/training.py use_tf_replay).
+
+    device_only=True benches only the --scst_reward device path (rewards
+    computed in-jit, zero host syncs) — used for the SCST scale-headroom
+    section at TPU-worthy batches (e.g. b=64 x 15 samples), where the
+    reference's host scorer is architecturally the serial bottleneck and
+    this design keeps the loop pure async dispatch."""
     from sparse_caption_tpu.decoding import generate
     from sparse_caption_tpu.engine import losses as losses_mod
     from sparse_caption_tpu.metrics.cider import build_df_pickle
@@ -276,7 +301,7 @@ def bench_scst_step(jax, jnp, tmp_dir="/tmp/sc_bench", mask_type=None, sparsity=
     from sparse_caption_tpu.scst import native as native_scst
 
     model, opt_w, opt_m, optax = _make_train_pieces(jax, jnp, prune=mask_type or False)
-    b, n_samples, t = 5, 15, MAX_LEN
+    t = MAX_LEN
     rng = np.random.default_rng(2)
     att = jnp.asarray(rng.standard_normal((b, REGIONS, FEAT)), jnp.float32)
     amask = jnp.ones((b, REGIONS), jnp.float32)
@@ -397,11 +422,33 @@ def bench_scst_step(jax, jnp, tmp_dir="/tmp/sc_bench", mask_type=None, sparsity=
         rewards = score(res["sample"])
         return grad_fn(state, res["sample"], rewards, state["step"])
 
+    n = 6
+
+    # ---- device-reward variant (--scst_reward device): rewards in-jit, the
+    # loop is pure async dispatch — zero host syncs until the final block
+    def run_device(state, n_steps):
+        loss = None
+        for _ in range(n_steps):
+            res = sample_fn(state["params"], state["step"])
+            state, loss = grad_fn_dev(state, res["sample"], state["step"])
+        np.asarray(loss)  # single sync at the end
+        return state
+
+    if device_only:
+        t0 = time.perf_counter()
+        state = run_device(state, 1)  # compile sample_fn + grad_fn_dev
+        _log(f"scst device-only warmup+compile: {time.perf_counter() - t0:.1f}s")
+        best = float("inf")
+        for _trial in range(2):
+            t0 = time.perf_counter()
+            state = run_device(state, n)
+            best = min(best, time.perf_counter() - t0)
+        return n / best
+
     t0 = time.perf_counter()
     state, loss = scst_step(state)
     np.asarray(loss)
     _log(f"scst warmup+compile: {time.perf_counter() - t0:.1f}s")
-    n = 6
     best = float("inf")
     for _trial in range(2):
         t0 = time.perf_counter()
@@ -446,16 +493,6 @@ def bench_scst_step(jax, jnp, tmp_dir="/tmp/sc_bench", mask_type=None, sparsity=
         state, ctr = run_pipelined(state, n, ctr)
         best = min(best, time.perf_counter() - t0)
     pipe_sps = n / best
-
-    # ---- device-reward variant (--scst_reward device): rewards in-jit, the
-    # loop is pure async dispatch — zero host syncs until the final block
-    def run_device(state, n_steps):
-        loss = None
-        for _ in range(n_steps):
-            res = sample_fn(state["params"], state["step"])
-            state, loss = grad_fn_dev(state, res["sample"], state["step"])
-        np.asarray(loss)  # single sync at the end
-        return state
 
     t0 = time.perf_counter()
     state = run_device(state, 1)  # compile grad_fn_dev
@@ -736,6 +773,43 @@ def bench_acort(jax, jnp):
     return decode_cps, n / best
 
 
+class _Emitter:
+    """Cumulative-JSON emitter: one complete line per section, last line
+    wins. Thread-safe because the watchdog thread and signal handlers may
+    flush while the main thread is blocked inside a relay call."""
+
+    def __init__(self):
+        self.out = {}
+        self.lock = threading.Lock()
+        self.t0 = time.monotonic()
+
+    def elapsed(self):
+        return time.monotonic() - self.t0
+
+    def update(self, **fields):
+        with self.lock:
+            # a completed section supersedes an earlier watchdog flush: the
+            # line now reflects newer state (the budget check re-adds
+            # truncation flags if sections are actually skipped)
+            if self.out.get("truncated_reason") == "watchdog":
+                self.out.pop("truncated", None)
+                self.out.pop("truncated_reason", None)
+            self.out.update(fields)
+            self._print()
+
+    def _print(self):
+        self.out["bench_wall_s"] = round(self.elapsed(), 1)
+        print(json.dumps(self.out), flush=True)
+
+    def flush_truncated(self, why):
+        with self.lock:
+            if self.out.get("value") is None:
+                return  # nothing meaningful to report yet
+            self.out["truncated"] = True
+            self.out["truncated_reason"] = why
+            self._print()
+
+
 def main() -> None:
     from sparse_caption_tpu.utils.jax_setup import enable_persistent_cache
 
@@ -744,6 +818,24 @@ def main() -> None:
     import jax.numpy as jnp
 
     from sparse_caption_tpu.models.relation_transformer import RelationTransformer
+
+    em = _Emitter()
+
+    # Flush guarantees: a daemon watchdog fires even when the main thread is
+    # blocked in a C relay call (signal handlers can't run there); SIGTERM/
+    # SIGALRM handlers cover cooperative kills between Python bytecodes.
+    def _on_signal(signum, frame):  # noqa: ARG001
+        em.flush_truncated(f"signal {signum}")
+        os._exit(0)
+
+    for sig in (signal.SIGTERM, signal.SIGALRM):
+        try:
+            signal.signal(sig, _on_signal)
+        except (ValueError, OSError):
+            pass
+    watchdog = threading.Timer(BUDGET_S * 1.5, em.flush_truncated, args=("watchdog",))
+    watchdog.daemon = True
+    watchdog.start()
 
     model = RelationTransformer(
         vocab_size=VOCAB, d_model=D_MODEL, dim_feedforward=FF, num_layers=LAYERS,
@@ -761,32 +853,6 @@ def main() -> None:
     att_b = att.astype(jnp.bfloat16)
     amask_b = amask.astype(jnp.bfloat16)
 
-    def guarded(name, fn, *args):
-        """One failing sub-bench must not kill the whole bench line."""
-        try:
-            return fn(*args)
-        except Exception as e:  # noqa: BLE001
-            print(f"bench {name} failed: {type(e).__name__}: {e}", file=sys.stderr)
-            return None
-
-    captions_per_sec = bench_decode(jax, jnp, model, variables, att_b, amask_b, boxes)
-    xe_sps = bench_xe_step(jax, jnp)
-    scst = guarded("scst", bench_scst_step, jax, jnp)
-    scst_sps, scst_pipe_sps, scst_dev_sps = scst if scst else (None, None, None)
-    # the paper's sparse fine-tuning stage: frozen 95%-sparse masks
-    scst_sparse = guarded("scst_sparse", bench_scst_step, jax, jnp, "/tmp/sc_bench", "mask_freeze")
-    scst_sparse_sps, scst_sparse_pipe_sps, scst_sparse_dev_sps = (
-        scst_sparse if scst_sparse else (None, None, None))
-    scst_beam_sps = guarded("scst_beam", bench_scst_beam_step, jax, jnp)
-    xe_b256 = guarded("xe_b256", bench_xe_step, jax, jnp, 256)
-    # --train_precision bf16 is neutral at the reference batch (latency
-    # bound) but +13% at batch 256 (HBM-bound regime): A/B'd r3
-    xe_b256_bf16 = guarded("xe_b256_bf16", bench_xe_step, jax, jnp, 256, True)
-    updown = guarded("updown", bench_updown, jax, jnp)
-    acort = guarded("acort", bench_acort, jax, jnp)
-
-    # MFU accounting (VERDICT r2 next #5): analytic matmul FLOPs per XE
-    # step vs the chip's peak dense bf16 rate
     kind = jax.devices()[0].device_kind
     peak = PEAK_TFLOPS.get(kind)
     f15 = ort_xe_flops(15)
@@ -795,38 +861,105 @@ def main() -> None:
     def mfu(flops, sps):
         return round(flops * sps / (peak * 1e12), 4) if (peak and sps) else None
 
-    out = {
-        "metric": "captions_per_sec_per_chip_beam5",
-        "value": round(captions_per_sec, 2),
-        "unit": "captions/sec",
-        "vs_baseline": round(captions_per_sec / BASELINE_CAPTIONS_PER_SEC, 3),
-        "decode_batch": BATCH,
-        "xe_steps_per_sec": round(xe_sps, 3),
-        "xe_images_per_sec": round(xe_sps * 15, 1),
-        "scst_steps_per_sec": round(scst_sps, 3) if scst_sps else None,
-        "scst_pipelined_steps_per_sec": round(scst_pipe_sps, 3) if scst_pipe_sps else None,
-        "scst_device_reward_steps_per_sec": round(scst_dev_sps, 3) if scst_dev_sps else None,
-        "scst_sparse_steps_per_sec": round(scst_sparse_sps, 3) if scst_sparse_sps else None,
-        "scst_sparse_pipelined_steps_per_sec":
-            round(scst_sparse_pipe_sps, 3) if scst_sparse_pipe_sps else None,
-        "scst_sparse_device_reward_steps_per_sec":
-            round(scst_sparse_dev_sps, 3) if scst_sparse_dev_sps else None,
-        "scst_beam_steps_per_sec": round(scst_beam_sps, 3) if scst_beam_sps else None,
-        "xe_steps_per_sec_batch256": round(xe_b256, 3) if xe_b256 else None,
-        "xe_steps_per_sec_batch256_bf16": round(xe_b256_bf16, 3) if xe_b256_bf16 else None,
-        "device_kind": kind,
-        "peak_tflops_bf16": peak,
-        "xe_model_tflops_per_step": round(f15 / 1e12, 4),
-        "xe_mfu": mfu(f15, xe_sps),
-        "xe_b256_model_tflops_per_step": round(f256 / 1e12, 4),
-        "xe_b256_mfu": mfu(f256, xe_b256),
-        "xe_b256_bf16_mfu": mfu(f256, xe_b256_bf16),
-        "updown_captions_per_sec": round(updown[0], 1) if updown else None,
-        "updown_xe_steps_per_sec": round(updown[1], 3) if updown else None,
-        "acort_captions_per_sec": round(acort[0], 1) if acort else None,
-        "acort_xe_steps_per_sec": round(acort[1], 3) if acort else None,
-    }
-    print(json.dumps(out))
+    def rnd(x, nd=3):
+        return round(x, nd) if x else None
+
+    # ---- primary section FIRST: a complete JSON line exists the moment the
+    # headline decode number is measured
+    captions_per_sec = bench_decode(jax, jnp, model, variables, att_b, amask_b, boxes)
+    em.update(
+        metric="captions_per_sec_per_chip_beam5",
+        value=round(captions_per_sec, 2),
+        unit="captions/sec",
+        vs_baseline=round(captions_per_sec / BASELINE_CAPTIONS_PER_SEC, 3),
+        vs_baseline_basis=(
+            "estimated reference PyTorch on one A100 at beam 5 = "
+            f"{BASELINE_CAPTIONS_PER_SEC:.0f} captions/s (no published numbers, SURVEY §6)"),
+        vs_reference_same_cpu_decode=MEASURED_SAME_CPU["decode"],
+        vs_reference_same_cpu_xe=MEASURED_SAME_CPU["xe"],
+        vs_reference_same_cpu_scst=MEASURED_SAME_CPU["scst"],
+        vs_reference_same_cpu_basis=(
+            "measured: scripts/bench_cpu_vs_reference.py, both frameworks on the identical "
+            "CPU, fp32 paper-scale ORT (round-3 quiet-host run)"),
+        decode_batch=BATCH,
+        device_kind=kind,
+        peak_tflops_bf16=peak,
+        budget_s=BUDGET_S,
+    )
+
+    # ---- remaining sections, importance-ordered; each failure or budget
+    # exhaustion leaves every already-emitted line intact
+    def sec_xe():
+        xe_sps = bench_xe_step(jax, jnp)
+        em.update(xe_steps_per_sec=rnd(xe_sps), xe_images_per_sec=rnd(xe_sps * 15, 1),
+                  xe_model_tflops_per_step=round(f15 / 1e12, 4), xe_mfu=mfu(f15, xe_sps))
+
+    def sec_scst():
+        s, p, d = bench_scst_step(jax, jnp)
+        em.update(scst_steps_per_sec=rnd(s), scst_pipelined_steps_per_sec=rnd(p),
+                  scst_device_reward_steps_per_sec=rnd(d))
+
+    def sec_scst_scale():
+        # SCST scale headroom (VERDICT r3 #6): device-reward step at a
+        # TPU-worthy batch — the reference's host scorer cannot scale here
+        b, ns = 64, 15
+        d = bench_scst_step(jax, jnp, b=b, n_samples=ns, device_only=True)
+        em.update(scst_device_b64_steps_per_sec=rnd(d),
+                  scst_device_b64_images_per_sec=rnd(d * b, 1),
+                  scst_device_b64_samples_per_sec=rnd(d * b * ns, 1))
+
+    def sec_xe_b256():
+        xe_b256 = bench_xe_step(jax, jnp, 256)
+        em.update(xe_steps_per_sec_batch256=rnd(xe_b256),
+                  xe_b256_model_tflops_per_step=round(f256 / 1e12, 4),
+                  xe_b256_mfu=mfu(f256, xe_b256))
+
+    def sec_xe_b256_bf16():
+        # --train_precision bf16 is neutral at the reference batch (latency
+        # bound) but +13% at batch 256 (HBM-bound regime): A/B'd r3
+        xe_b = bench_xe_step(jax, jnp, 256, True)
+        em.update(xe_steps_per_sec_batch256_bf16=rnd(xe_b), xe_b256_bf16_mfu=mfu(f256, xe_b))
+
+    def sec_scst_sparse():
+        # the paper's sparse fine-tuning stage: frozen 95%-sparse masks
+        s, p, d = bench_scst_step(jax, jnp, "/tmp/sc_bench", "mask_freeze")
+        em.update(scst_sparse_steps_per_sec=rnd(s), scst_sparse_pipelined_steps_per_sec=rnd(p),
+                  scst_sparse_device_reward_steps_per_sec=rnd(d))
+
+    def sec_scst_beam():
+        em.update(scst_beam_steps_per_sec=rnd(bench_scst_beam_step(jax, jnp)))
+
+    def sec_updown():
+        cps, sps = bench_updown(jax, jnp)
+        em.update(updown_captions_per_sec=rnd(cps, 1), updown_xe_steps_per_sec=rnd(sps))
+
+    def sec_acort():
+        cps, sps = bench_acort(jax, jnp)
+        em.update(acort_captions_per_sec=rnd(cps, 1), acort_xe_steps_per_sec=rnd(sps))
+
+    sections = [
+        ("xe", sec_xe),
+        ("scst", sec_scst),
+        ("scst_scale_b64", sec_scst_scale),
+        ("xe_b256", sec_xe_b256),
+        ("xe_b256_bf16", sec_xe_b256_bf16),
+        ("scst_sparse", sec_scst_sparse),
+        ("scst_beam", sec_scst_beam),
+        ("updown", sec_updown),
+        ("acort", sec_acort),
+    ]
+    for name, fn in sections:
+        if em.elapsed() > BUDGET_S:
+            skipped = [n for n, _ in sections[sections.index((name, fn)):]]
+            em.update(truncated=True,
+                      truncated_reason=f"wall-clock budget {BUDGET_S:.0f}s exceeded",
+                      skipped_sections=skipped)
+            break
+        try:
+            fn()
+        except Exception as e:  # noqa: BLE001 — one failing sub-bench must not kill the line
+            print(f"bench {name} failed: {type(e).__name__}: {e}", file=sys.stderr)
+    watchdog.cancel()
 
 
 if __name__ == "__main__":

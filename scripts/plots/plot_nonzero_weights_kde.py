@@ -58,9 +58,10 @@ def load_flat_weights(run_dir: str, model_files: list) -> np.ndarray:
     for name in model_files:
         path = os.path.join(run_dir, name)
         if not os.path.isfile(path):
-            # msgpack flavor missing: accept the orbax twin of the same stem
+            # flavor missing at the literal name: accept whatever backend
+            # find_ckpt resolves (orbax dir OR a msgpack fallback)
             path = find_ckpt(run_dir, os.path.splitext(name)[0])
-            if not os.path.isdir(path):
+            if not os.path.exists(path):
                 continue
         if path.endswith(".npz"):
             from sparse_caption_tpu.pruning.engine import sparse_import

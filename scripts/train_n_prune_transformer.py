@@ -26,6 +26,10 @@ def main(config: Config) -> None:
     from sparse_caption_tpu.utils.jax_setup import select_platform
 
     select_platform(config.get("platform"))
+    # multi-process mode must connect BEFORE the first backend touch
+    from sparse_caption_tpu.parallel import distributed as dist
+
+    dist.maybe_initialize_from_config(config)
     enable_persistent_cache()
     set_global_seed(int(config.get("seed", 8888)))
     assert config.caption_model.endswith("_prune"), "use a `*_prune` caption_model with this script"
@@ -38,8 +42,9 @@ def main(config: Config) -> None:
 
     # eval best pruned checkpoint on test (reference :293-301 strips `_prune`
     # and loads the sparse ckpt densified; here the folded ckpt is native)
+    # os.path.exists — with --ckpt_backend orbax the artifact is a directory
     best = module.checkpoint_path.format("best_pruned")
-    if os.path.isfile(best):
+    if os.path.exists(best):
         import jax
 
         from sparse_caption_tpu.engine.checkpoints import load_pytree

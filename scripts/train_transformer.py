@@ -25,6 +25,11 @@ def main(config: Config) -> None:
     from sparse_caption_tpu.utils.jax_setup import select_platform
 
     select_platform(config.get("platform"))
+    # multi-process mode must connect BEFORE the first backend touch
+    # (set_global_seed below creates a PRNGKey, which initializes it)
+    from sparse_caption_tpu.parallel import distributed as dist
+
+    dist.maybe_initialize_from_config(config)
     enable_persistent_cache()
     import jax
 
@@ -33,11 +38,12 @@ def main(config: Config) -> None:
     set_global_seed(int(config.get("seed", 8888)))
     module = TrainingModule(config)
     module.train()
-    # final test eval from the best checkpoint (reference train_transformer.py:135-141)
+    # final test eval from the best checkpoint (reference train_transformer.py:135-141;
+    # os.path.exists — with --ckpt_backend orbax the artifact is a directory)
     best = module.checkpoint_path.format("best")
     import os
 
-    if os.path.isfile(best):
+    if os.path.exists(best):
         from sparse_caption_tpu.engine.checkpoints import load_pytree
 
         ckpt = load_pytree(best)

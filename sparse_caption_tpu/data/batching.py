@@ -52,6 +52,25 @@ class CaptionBatcher:
         out[: len(ids)] = ids
         return out
 
+    def sample_captions(self, records: Sequence[dict], rng) -> List[str]:
+        """Draw ``seq_per_img`` captions per record (with-replacement pad
+        for rare short records — the documented static-shape delta)."""
+        chosen_all: List[str] = []
+        for r in records:
+            caps = r["all_captions"]
+            if len(caps) >= self.seq_per_img:
+                chosen_all += rng.sample(caps, self.seq_per_img)
+            else:  # static-shape delta: sample with replacement
+                chosen_all += list(caps) + [rng.choice(caps) for _ in range(self.seq_per_img - len(caps))]
+        return chosen_all
+
+    def encode_captions(self, captions: Sequence[str]) -> Dict:
+        if hasattr(self.tokenizer, "encode_batch"):
+            seqs = self.tokenizer.encode_batch(list(captions), self.max_seq_length)
+        else:
+            seqs = np.stack([self._encode_caption(c) for c in captions], 0)
+        return {"seqs": seqs, "masks": (seqs != self.tokenizer.pad_token_id).astype(np.float32)}
+
     def __call__(self, records: Sequence[dict], sample_captions: bool = True, rng: Optional[random.Random] = None) -> Dict:
         rng = rng or random
         feats = [self.features.load(r["img_id"]) for r in records]
@@ -60,19 +79,7 @@ class CaptionBatcher:
             batch[key] = np.stack([f[key] for f in feats], 0)
 
         if sample_captions:
-            chosen_all = []
-            for r in records:
-                caps = r["all_captions"]
-                if len(caps) >= self.seq_per_img:
-                    chosen_all += rng.sample(caps, self.seq_per_img)
-                else:  # static-shape delta: sample with replacement
-                    chosen_all += list(caps) + [rng.choice(caps) for _ in range(self.seq_per_img - len(caps))]
-            if hasattr(self.tokenizer, "encode_batch"):
-                seqs = self.tokenizer.encode_batch(chosen_all, self.max_seq_length)
-            else:
-                seqs = np.stack([self._encode_caption(c) for c in chosen_all], 0)
-            batch["seqs"] = seqs
-            batch["masks"] = (seqs != self.tokenizer.pad_token_id).astype(np.float32)
+            batch.update(self.encode_captions(self.sample_captions(records, rng)))
 
         batch["gts"] = [r["all_gts"] for r in records]
         batch["image_paths"] = [r["img_path"] for r in records]
@@ -96,14 +103,29 @@ class BatchLoader:
         train: bool,
         seed: int = 8888,
         prefetch: int = 2,
+        process_index: int = 0,
+        process_count: int = 1,
     ):
         self.records = list(records)
         self.batcher = batcher
-        self.batch_size = int(batch_size)
+        self.batch_size = int(batch_size)  # GLOBAL batch size
         self.train = train
         self.seed = seed
         self.prefetch = prefetch
         self._epoch = 0
+        # multi-process sharding: every process enumerates the IDENTICAL
+        # global batch order (same seed -> same shuffle, same caption
+        # sampling) but loads features/encodes captions only for its
+        # contiguous 1/process_count slice of each batch; shard_batch then
+        # assembles the global arrays. Global metadata (gts, image ids/
+        # paths, batch_valid) is carried in full on every process — it is
+        # cheap host data that eval gathering and device-reward ref packs
+        # need globally.
+        self.process_index = int(process_index)
+        self.process_count = int(process_count)
+        assert 0 <= self.process_index < self.process_count
+        assert self.batch_size % self.process_count == 0, (
+            f"global batch_size {batch_size} must divide by process_count {process_count}")
 
     def __len__(self) -> int:
         n = len(self.records)
@@ -115,13 +137,30 @@ class BatchLoader:
         if self.train:
             rng.shuffle(order)
         n_batches = len(self)
+        lb = self.batch_size // self.process_count
         for b in range(n_batches):
             idx = order[b * self.batch_size : (b + 1) * self.batch_size]
             valid = len(idx)
             if not self.train and valid < self.batch_size:
                 idx = idx + [idx[-1]] * (self.batch_size - valid)
             recs = [self.records[i] for i in idx]
-            batch = self.batcher(recs, sample_captions=self.train, rng=rng)
+            if self.process_count > 1:
+                # caption sampling must consume the rng identically on every
+                # process, so the GLOBAL batch's captions are drawn first and
+                # the local slice is cut afterwards
+                local = recs[self.process_index * lb : (self.process_index + 1) * lb]
+                batch = self.batcher(local, sample_captions=False, rng=rng)
+                if self.train:
+                    global_caps = self.batcher.sample_captions(recs, rng)
+                    spi = self.batcher.seq_per_img
+                    caps = global_caps[self.process_index * lb * spi
+                                       : (self.process_index + 1) * lb * spi]
+                    batch.update(self.batcher.encode_captions(caps))
+                batch["gts"] = [r["all_gts"] for r in recs]
+                batch["image_paths"] = [r["img_path"] for r in recs]
+                batch["image_ids"] = [r["img_id"] for r in recs]
+            else:
+                batch = self.batcher(recs, sample_captions=self.train, rng=rng)
             batch["batch_valid"] = valid
             yield batch
         self._epoch += 1

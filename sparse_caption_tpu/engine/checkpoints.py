@@ -52,18 +52,38 @@ def wait_for_checkpoints() -> None:
 
 
 def is_orbax_path(path: str) -> bool:
-    return str(path).endswith(ORBAX_SUFFIX) or os.path.isdir(path)
+    """An orbax artifact is a ``*.orbax`` directory, or any directory
+    containing orbax metadata markers.  A plain directory without markers
+    is NOT treated as a checkpoint — load_pytree on it raises a clear
+    error instead of an opaque orbax one."""
+    path = str(path)
+    if path.endswith(ORBAX_SUFFIX):
+        return True
+    if not os.path.isdir(path):
+        return False
+    return any(
+        os.path.exists(os.path.join(path, marker))
+        for marker in ("_CHECKPOINT_METADATA", "_METADATA", "manifest.ocdbt")
+    )
 
 
 def find_ckpt(dirname: str, stem: str) -> str:
-    """Resolve ``<dirname>/<stem>`` to whichever backend artifact exists
-    (msgpack file preferred, orbax dir otherwise); returns the msgpack
-    path when neither exists so callers produce a familiar error."""
+    """Resolve ``<dirname>/<stem>`` to whichever backend artifact exists.
+    When both a ``.msgpack`` file and an ``.orbax`` dir exist (e.g. a run
+    restarted in place after switching ``--ckpt_backend``), the NEWER
+    mtime wins — preferring one format unconditionally would silently
+    resume/evaluate stale weights.  Returns the msgpack path when neither
+    exists so callers produce a familiar error."""
     msg = os.path.join(dirname, stem + ".msgpack")
-    if os.path.isfile(msg):
-        return msg
     orb = os.path.join(dirname, stem + ORBAX_SUFFIX)
-    if os.path.isdir(orb):
+    has_msg, has_orb = os.path.isfile(msg), os.path.isdir(orb)
+    if has_msg and has_orb:
+        pick = msg if os.path.getmtime(msg) >= os.path.getmtime(orb) else orb
+        logger.warning("both %s and %s exist; picking newer: %s", msg, orb, pick)
+        return pick
+    if has_msg:
+        return msg
+    if has_orb:
         return orb
     return msg
 
@@ -94,6 +114,9 @@ def save_pytree_orbax(path: str, tree: Any) -> str:
 def load_pytree(path: str, target: Any = None) -> Any:
     if is_orbax_path(path):
         return load_pytree_orbax(path, target)
+    if os.path.isdir(path):
+        raise ValueError(
+            f"{path} is a directory but not an orbax checkpoint (no orbax metadata markers)")
     with open(path, "rb") as f:
         data = f.read()
     if target is None:
@@ -151,6 +174,17 @@ def restore_lenient(target: Dict, path: str, restore_log: Optional[str] = None) 
                 f.write(f"Checkpoint `{path}` contains extra parameters:\n" + "\n".join(unexpected) + "\n\n")
         logger.info("restore: %d missing, %d unexpected keys (see %s)", len(missing), len(unexpected), restore_log)
     return traverse_util.unflatten_dict(merged, sep="/"), missing, unexpected
+
+
+class NullScalarLogger:
+    """No-op scalar sink for non-primary processes in multi-process runs
+    (process 0 owns every host-side artifact; see parallel/distributed.py)."""
+
+    def add_scalar(self, tag: str, value, step: int) -> None:
+        pass
+
+    def close(self) -> None:
+        pass
 
 
 class ScalarLogger:

@@ -23,7 +23,7 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-from sparse_caption_tpu.engine.checkpoints import load_pytree, save_pytree
+from sparse_caption_tpu.engine.checkpoints import load_pytree, save_pytree, wait_for_checkpoints
 from sparse_caption_tpu.engine.losses import language_model_loss
 from sparse_caption_tpu.engine.training import TrainingModule
 from sparse_caption_tpu.pruning import (
@@ -175,25 +175,39 @@ class PruneTrainingModule(TrainingModule):
         """Fold masks into the best checkpoint and export dense / sparse /
         binarized-mask artifacts + sparsities.csv (:251-291)."""
         best_path = self.checkpoint_path.format("best")
-        if not os.path.isfile(best_path):
+        # os.path.exists, not isfile: with --ckpt_backend orbax the best
+        # checkpoint is a model_best.orbax DIRECTORY
+        if not os.path.exists(best_path):
             logger.warning("no best checkpoint found; skipping pruned export")
             return
+        wait_for_checkpoints()  # the async best save may still be in flight
         best = load_pytree(best_path)
         params, masks = best["params"], best.get("masks", {})
         pruned = prune_engine.prune_weights(params, masks, self.prune_type)
-        save_pytree(self.checkpoint_path.format("best_pruned"), {"params": pruned, "masks": masks})
-        sparse = prune_engine.sparse_export(params, masks, self.prune_type)
-        np.savez_compressed(os.path.join(self.config.log_dir, "model_best_pruned_sparse.npz"), **sparse)
-        if self.prune_type in SUPER_MASKS:
-            save_pytree(self.checkpoint_path.format("best_bin_mask"),
-                        {"params": params, "masks": prune_engine.binarize_masks(masks)})
-        # sparsities.csv
-        _, _, per = prune_engine.mask_sparsity(masks, self.prune_type)
-        csv_path = os.path.join(self.config.log_dir, "sparsities.csv")
-        for name, s in sorted(per.items()):
-            csv_append_row(csv_path, ["tensor", "sparsity"], [name, f"{float(s):.6f}"])
+        # multi-process: orbax saves are collective (all processes call);
+        # single-file writes (msgpack/npz/csv) belong to process 0
+        orbax = self.checkpoint_path.endswith(".orbax")
+        primary = self.dist.is_primary()
+        if primary or orbax:
+            save_pytree(self.checkpoint_path.format("best_pruned"), {"params": pruned, "masks": masks})
+            if self.prune_type in SUPER_MASKS:
+                save_pytree(self.checkpoint_path.format("best_bin_mask"),
+                            {"params": params, "masks": prune_engine.binarize_masks(masks)})
+        if primary:
+            sparse = prune_engine.sparse_export(params, masks, self.prune_type)
+            np.savez_compressed(os.path.join(self.config.log_dir, "model_best_pruned_sparse.npz"), **sparse)
+            # sparsities.csv
+            _, _, per = prune_engine.mask_sparsity(masks, self.prune_type)
+            csv_path = os.path.join(self.config.log_dir, "sparsities.csv")
+            for name, s in sorted(per.items()):
+                csv_append_row(csv_path, ["tensor", "sparsity"], [name, f"{float(s):.6f}"])
+        self.dist.sync()
         logger.info("pruned exports written to %s", self.config.log_dir)
 
     def train(self) -> None:
         super().train()
         self.export_pruned_best()
+        # export_pruned_best dispatches async orbax saves (best_pruned,
+        # best_bin_mask); join them so the process can't exit with a
+        # partial/tmp dir left behind
+        wait_for_checkpoints()

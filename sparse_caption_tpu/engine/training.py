@@ -46,7 +46,8 @@ from sparse_caption_tpu.data.features import FeatureCache, FeatureSource, defaul
 from sparse_caption_tpu.decoding import generate
 from sparse_caption_tpu.decoding.api import decode_train_keys
 from sparse_caption_tpu.engine import losses as losses_mod
-from sparse_caption_tpu.engine.checkpoints import ScalarLogger, restore_lenient, save_pytree, load_pytree
+from sparse_caption_tpu.engine.checkpoints import (
+    NullScalarLogger, ScalarLogger, restore_lenient, save_pytree, load_pytree)
 from sparse_caption_tpu.engine.optim import build_mask_optimizer, build_weight_optimizer, make_schedule
 from sparse_caption_tpu.metrics import evaluate_caption_json
 from sparse_caption_tpu.metrics.cider import build_df_pickle
@@ -116,6 +117,15 @@ class TrainingModule:
         ckpt_ext = ".orbax" if config.get("ckpt_backend") == "orbax" else ".msgpack"
         self.checkpoint_path = os.path.join(config.log_dir, "model_{}" + ckpt_ext)
         self.optimizer_path = os.path.join(config.log_dir, "optimizer_{}" + ckpt_ext)
+        # multi-process (multi-host) mode: connect to the coordination
+        # service BEFORE the first backend touch (SURVEY §2.11 — the
+        # build's new distributed component; see parallel/distributed.py)
+        from sparse_caption_tpu.parallel import distributed as dist
+
+        self.dist = dist
+        if dist.maybe_initialize_from_config(config) and not config.get("mesh_shape"):
+            # default: all global devices on the data axis
+            config.mesh_shape = str(jax.device_count())
         # scale-out: data(+tensor)-parallel mesh when --mesh_shape is set
         self.mesh = None
         if config.get("mesh_shape"):
@@ -145,32 +155,41 @@ class TrainingModule:
         # split, karpathy.py:55-80 dedups only in generation mode); eval
         # dedups to one record per image
         records = self.data.get_split(split, generation_mode=not train)
-        return BatchLoader(records, self.batcher, bs, train=train, seed=int(self.config.get("seed", 8888)))
+        return BatchLoader(records, self.batcher, bs, train=train, seed=int(self.config.get("seed", 8888)),
+                           process_index=self.dist.process_index(),
+                           process_count=self.dist.process_count())
 
     def prepare(self) -> None:
         config = self.config
         assert config.max_epochs > 0 and config.get("save_checkpoint_every", 6000) > 0
         if config.get("cached_tokens") is None:
             config.cached_tokens = os.path.join(config.dataset_dir, "bu", "coco-train-words")
-        if bool(config.get("config_save_skip", False)):
+        if bool(config.get("config_save_skip", False)) or not self.dist.is_primary():
             # read-only entries (eval_model): never rewrite the training
             # run's config.json with eval-time mutations (stripped _prune
-            # model name, decode overrides)
+            # model name, decode overrides). Non-primary processes never
+            # write host-side artifacts (they share log_dir with process 0).
             self.config_path = os.path.join(config.log_dir, "config.json")
         else:
             self.config_path = config.save_config(config.log_dir, exist_ok=bool(config.get("config_overwrite", False)))
         self.train_loader = self.get_loader("train", train=True)
         self.val_loader = self.get_loader("val", train=False)
-        self.tb = ScalarLogger(config.log_dir)
+        self.tb = ScalarLogger(config.log_dir) if self.dist.is_primary() else NullScalarLogger()
         self.max_train_step = config.max_train_step = config.max_epochs * len(self.train_loader)
         self.scst_scorer = None
         if 0 <= int(config.get("scst_start_epoch", -1)):
+            if self.dist.is_multiprocess() and config.get("scst_reward", "host") != "device":
+                raise ValueError(
+                    "multi-process SCST requires --scst_reward device (rewards computed "
+                    "in-jit over the global mesh); the host scorer would need a "
+                    "cross-process gather/re-shard of sampled tokens every step")
             df_path = config.cached_tokens if str(config.cached_tokens).endswith(".p") else config.cached_tokens + ".p"
-            if not os.path.isfile(df_path):
+            if not os.path.isfile(df_path) and self.dist.is_primary():
                 logger.info("building CIDEr df pickle from train captions -> %s", df_path)
                 refs = [d["all_gts"] for d in self.data.get_split("train", generation_mode=True)]
                 os.makedirs(os.path.dirname(df_path), exist_ok=True)
                 build_df_pickle(refs, df_path)
+            self.dist.sync()  # non-primary waits for the df pickle
             scorer_cls = CaptionScorer
             if bool(config.get("scst_use_native", True)):
                 from sparse_caption_tpu.scst import native as native_scst
@@ -209,9 +228,16 @@ class TrainingModule:
         scorer = CiderScorer.from_pickle(df_path)
         tok2id = dict(self.tokenizer._token_to_id)
         table = devr.DfTable.build(scorer.df, scorer.ref_len, tok2id)
+        tbl_dev = table.device_arrays()
+        if self.mesh is not None:
+            # the df table is a jit input alongside mesh-sharded arrays:
+            # make it a fully-replicated GLOBAL array (required once the
+            # mesh spans processes; harmless single-process)
+            tbl_dev = self.dist.put_replicated(
+                jax.tree.map(np.asarray, tbl_dev), self.mesh)
         self.scst_device = {
             "table": table, "df": scorer.df, "tok2id": tok2id,
-            "tbl_dev": table.device_arrays(),
+            "tbl_dev": tbl_dev,
             # the weighted CIDEr-D + BLEU mix is baked into the jitted fn
             "fn": devr.make_reward_device_fn(
                 table, eos_id=self.tokenizer.eos_token_id,
@@ -236,10 +262,14 @@ class TrainingModule:
         pack = devr.build_ref_pack(gts, d["df"], d["table"].ref_len, d["tok2id"],
                                    vocab_size=len(self.tokenizer),
                                    max_refs=r, max_grams=l_max)
+        if self.mesh is not None:
+            # gts are GLOBAL metadata on every process (BatchLoader carries
+            # them in full), so the pack replicates identically
+            return self.dist.put_replicated(pack, self.mesh)
         return devr.ref_pack_device(pack)
 
     # -------------------------------------------------------------- state
-    def _model_inputs(self, batch: Dict, with_seqs: bool = True) -> Dict[str, jnp.ndarray]:
+    def _model_inputs(self, batch: Dict, with_seqs: bool = True, shard: bool = True) -> Dict[str, jnp.ndarray]:
         out = {
             "att_feats": jnp.asarray(batch["att_feats"]),
             "att_masks": jnp.asarray(batch["att_masks"]),
@@ -250,11 +280,21 @@ class TrainingModule:
             out["fc_feats"] = jnp.asarray(batch["fc_feats"])
         if with_seqs:
             out["seqs"] = jnp.asarray(batch["seqs"])
-        if self.mesh is not None:
+        if self.mesh is not None and shard:
             from sparse_caption_tpu.parallel import shard_batch
 
             out = shard_batch(out, self.mesh)
         return out
+
+    def _shard_aux(self, arr):
+        """Batch-axis-shard an auxiliary per-example array (e.g. the caption
+        loss masks) the same way _model_inputs shards the model inputs."""
+        arr = np.asarray(arr)
+        if self.mesh is not None:
+            from sparse_caption_tpu.parallel import shard_batch
+
+            return shard_batch({"x": arr}, self.mesh)["x"]
+        return arr
 
     def init_state(self, rng: Optional[jax.Array] = None) -> TrainState:
         rng = rng if rng is not None else jax.random.PRNGKey(int(self.config.get("seed", 8888)))
@@ -281,7 +321,11 @@ class TrainingModule:
             probe = probe_batch("train")
         except (FileNotFoundError, StopIteration):
             probe = probe_batch("val")
-        inputs = self._model_inputs(probe)
+        # model.init runs EAGERLY (unjitted), so multi-process runs must
+        # init from host arrays — eager ops on non-addressable global
+        # arrays fail; every process inits identically (same rng) and
+        # shard_state places the result onto the global mesh below
+        inputs = self._model_inputs(probe, shard=not self.dist.is_multiprocess())
         variables = self.model.init({"params": rng, "mask": rng, "dropout": rng, "ss": rng}, **inputs)
         params = variables["params"]
         masks = variables.get("masks", {})
@@ -311,11 +355,12 @@ class TrainingModule:
             "/".join(getattr(k, "key", str(k)) for k in path): int(leaf.size)
             for path, leaf in jax.tree_util.tree_flatten_with_path(params)[0]
         }
-        dump_json(os.path.join(self.config.log_dir, "model_params.json"),
-                  {"total": int(n_params), "trainable params": int(n_params),
-                   "breakdown": breakdown}, indent=2)
-        if n_masks:
-            dump_json(os.path.join(self.config.log_dir, "mask_params.json"), {"total": int(n_masks)}, indent=2)
+        if self.dist.is_primary():
+            dump_json(os.path.join(self.config.log_dir, "model_params.json"),
+                      {"total": int(n_params), "trainable params": int(n_params),
+                       "breakdown": breakdown}, indent=2)
+            if n_masks:
+                dump_json(os.path.join(self.config.log_dir, "mask_params.json"), {"total": int(n_masks)}, indent=2)
         logger.info("model params: %s, mask params: %s", f"{n_params:,d}", f"{n_masks:,d}")
         return self.state
 
@@ -977,7 +1022,10 @@ class TrainingModule:
             if cast_inputs is not None:
                 inputs = cast_inputs(inputs)
             seq, _ = decode(variables, inputs, eval_key, batch_idx)
-            seq = np.asarray(seq)[: batch["batch_valid"]]
+            # fetch_global: plain np.asarray single-process; gathers across
+            # processes otherwise (the loader carries GLOBAL image_paths, so
+            # every process reconstructs the identical full prediction list)
+            seq = self.dist.fetch_global(seq)[: batch["batch_valid"]]
             predictions += [self.tokenizer.decode(seq[i, 0]) for i in range(seq.shape[0])]
             image_paths += batch["image_paths"][: batch["batch_valid"]]
         n_img = len(image_paths)
@@ -987,6 +1035,10 @@ class TrainingModule:
         out_dir = os.path.join(config.log_dir, f"{'test2014' if is_test2014 else split}_beam_{beam_size}")
         if config.get("eval_dir_suffix"):
             out_dir += f"_{config.eval_dir_suffix}"
+        if not self.dist.is_primary():
+            # process 0 owns the caption JSON / score files; callers get the
+            # CIDEr via dist.broadcast_scalar (checkpoint_and_eval)
+            return predictions, None, out_dir
         json_fpath = os.path.join(out_dir, f"caption_{self.global_step:08d}.json")
         self.data.coco_caption_json_dump(zip(image_paths, predictions), json_fpath)
 
@@ -1018,9 +1070,22 @@ class TrainingModule:
 
     # ----------------------------------------------------------- checkpoint
     def save_checkpoint(self, tag: str) -> None:
-        save_pytree(self.checkpoint_path.format(tag), {"params": self.state.params, "masks": self.state.masks})
-        save_pytree(self.optimizer_path.format(tag),
-                    {"opt_w": self.state.opt_w, "opt_m": self.state.opt_m, "step": self.state.step})
+        model_tree = {"params": self.state.params, "masks": self.state.masks}
+        opt_tree = {"opt_w": self.state.opt_w, "opt_m": self.state.opt_m, "step": self.state.step}
+        if self.dist.is_multiprocess() and self.checkpoint_path.endswith(".msgpack"):
+            # msgpack is a single host-written file: gather (non-addressable
+            # leaves only), write on process 0, barrier so no process races
+            # ahead to read a half-written checkpoint. Orbax saves below are
+            # collective instead — every process writes its own shards.
+            model_tree = self.dist.fetch_global_tree(model_tree)
+            opt_tree = self.dist.fetch_global_tree(opt_tree)
+            if self.dist.is_primary():
+                save_pytree(self.checkpoint_path.format(tag), model_tree)
+                save_pytree(self.optimizer_path.format(tag), opt_tree)
+            self.dist.sync()
+            return
+        save_pytree(self.checkpoint_path.format(tag), model_tree)
+        save_pytree(self.optimizer_path.format(tag), opt_tree)
 
     def maybe_load_checkpoint(self) -> bool:
         config = self.config
@@ -1119,7 +1184,7 @@ class TrainingModule:
                     self.state, loss, aux = scst_step(self.state, batch)
                 else:
                     inputs = self._model_inputs(batch)
-                    self.state, loss, aux = xe_step(self.state, inputs, np.asarray(batch["masks"]))
+                    self.state, loss, aux = xe_step(self.state, inputs, self._shard_aux(batch["masks"]))
                 self.global_step += 1
                 if profile_dir and self.global_step == 2:  # skip compile step
                     jax.profiler.start_trace(profile_dir)
@@ -1168,11 +1233,17 @@ class TrainingModule:
                 if isinstance(v, (int, float)):  # skip "skipped (...)" markers
                     self.tb.add_scalar(f"val/{k}", v, self.global_step)
         self.save_checkpoint("last")
-        if scores and scores.get("CIDEr", 0.0) > self.best_val_score and self.allow_best_checkpoint():
-            self.best_val_score = scores["CIDEr"]
+        # multi-process: only process 0 computed scores — broadcast the
+        # CIDEr so every process takes the same best-checkpoint branch
+        # (orbax saves are collective; divergence would deadlock)
+        cider = self.dist.broadcast_scalar(
+            scores["CIDEr"] if scores and isinstance(scores.get("CIDEr"), (int, float)) else 0.0)
+        if cider > self.best_val_score and self.allow_best_checkpoint():
+            self.best_val_score = cider
             self.save_checkpoint("best")
             self.config.best_global_step = self.global_step
-        self.config.save_config(self.config.log_dir)
+        if self.dist.is_primary():
+            self.config.save_config(self.config.log_dir)
 
     # ------------------------------------------------------------ eval entry
     def eval_test(self) -> Dict:

@@ -15,8 +15,11 @@ Forward semantics (parity with ``masked_layer.py:84-110``):
   * every other mask type: ``w * m`` with ``m`` a 0/1 tensor
 
 The mask multiply is elementwise ahead of the dot; XLA fuses it into the
-matmul's operand read, so no separate Pallas kernel is needed for the dense
-path (a fused kernel for very large vocab projections lives in ops/pallas_*).
+matmul's operand read, so no separate Pallas kernel is needed: hand-written
+Pallas variants (fused supermask matmul, fused generator top-k) were A/B'd
+against XLA's fusions in rounds 2-3 and LOST — see CLAUDE.md perf notes —
+so the deliberate design is to keep masking as a plain elementwise op and
+let XLA schedule it.
 """
 
 from __future__ import annotations

@@ -125,6 +125,18 @@ def add_training_args(parser) -> None:
                              "and gradient reduce-scatter collectives)")
     parser.add_argument("--platform", type=str, default=None, choices=[None, "cpu", "tpu"],
                         help="pin the JAX platform (overrides environment plugins)")
+    # multi-process (multi-host) execution — SURVEY §2.11's new component;
+    # one process per host, jax.distributed over DCN, mesh over global devices
+    parser.add_argument("--dist_coordinator", type=str, default=None,
+                        help="host:port of process 0's coordination service; setting this "
+                             "enables multi-process mode (jax.distributed.initialize)")
+    parser.add_argument("--dist_num_processes", type=int, default=1)
+    parser.add_argument("--dist_process_id", type=int, default=None,
+                        help="this process's id in [0, dist_num_processes)")
+    parser.add_argument("--dist_local_device_count", type=int, default=None,
+                        help="force N virtual host devices per process (CPU testing)")
+    parser.add_argument("--dist_platform", type=str, default=None, choices=[None, "cpu", "tpu"],
+                        help="platform for the distributed backend (cpu enables gloo collectives)")
     parser.add_argument("--profile_dir", type=str, default=None,
                         help="write a jax.profiler trace of steps 2..2+profile_steps here")
     parser.add_argument("--profile_steps", type=int, default=10)

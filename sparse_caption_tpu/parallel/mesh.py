@@ -71,12 +71,26 @@ def make_mesh(shape: Optional[str] = None, devices=None) -> Mesh:
 
 
 def shard_batch(batch: Any, mesh: Mesh) -> Any:
-    """Device-put every array leaf sharded on the batch (leading) axis."""
+    """Device-put every array leaf sharded on the batch (leading) axis.
+
+    Multi-process: each process passes its LOCAL slice of the batch (rows
+    ``pid*B/nproc : (pid+1)*B/nproc`` — the BatchLoader's process sharding)
+    and the global array is assembled with
+    ``jax.make_array_from_process_local_data``; 0-d leaves are replicated
+    (every process must hold the identical value)."""
+    nproc = jax.process_count()
 
     def put(x):
         x = np.asarray(x) if not hasattr(x, "sharding") else x
         spec = P(DATA_AXIS, *([None] * (x.ndim - 1))) if getattr(x, "ndim", 0) >= 1 else P()
-        return jax.device_put(x, NamedSharding(mesh, spec))
+        s = NamedSharding(mesh, spec)
+        if nproc == 1:
+            return jax.device_put(x, s)
+        x = np.asarray(x)
+        if x.ndim == 0:
+            return jax.make_array_from_process_local_data(s, x, x.shape)
+        gshape = (x.shape[0] * nproc,) + x.shape[1:]
+        return jax.make_array_from_process_local_data(s, x, gshape)
 
     return jax.tree.map(put, batch)
 
@@ -133,6 +147,22 @@ def param_sharding(params: Any, mesh: Mesh, fsdp: bool = False) -> Any:
     treedef = jax.tree_util.tree_structure(params)
     flat_specs = [NamedSharding(mesh, specs[tuple(name_of(k) for k in path)]) for path, _ in flat]
     return jax.tree_util.tree_unflatten(treedef, flat_specs)
+
+
+def global_put(x, s: NamedSharding):
+    """device_put that also works multi-process: the host value (identical
+    on every process — same-seed init or a restored checkpoint) becomes a
+    global array laid out by ``s`` via make_array_from_process_local_data
+    (global_shape == local shape => "data must be the same across all
+    hosts", each process contributing its addressable shards)."""
+    if jax.process_count() == 1:
+        return jax.device_put(x, s)
+    if hasattr(x, "sharding") and not x.is_fully_addressable:
+        from sparse_caption_tpu.parallel.distributed import fetch_global
+
+        x = fetch_global(x)
+    x = np.asarray(x)
+    return jax.make_array_from_process_local_data(s, x, x.shape)
 
 
 def _zero_spec(spec: P, leaf, dp: int) -> P:
@@ -199,19 +229,19 @@ def shard_state(state: Any, mesh: Mesh, zero_opt: bool = False,
     data shard must see the same Bernoulli mask per forward)."""
     p_shard = param_sharding(state.params, mesh, fsdp=fsdp)
     repl = NamedSharding(mesh, P())
-    new = state.replace(params=jax.tree.map(jax.device_put, state.params, p_shard))
+    new = state.replace(params=jax.tree.map(global_put, state.params, p_shard))
     if hasattr(new, "opt_w"):
         ow_shard = opt_state_sharding(new.opt_w, state.params, mesh,
                                       zero=zero_opt, fsdp=fsdp)
-        new = new.replace(opt_w=jax.tree.map(jax.device_put, new.opt_w, ow_shard))
+        new = new.replace(opt_w=jax.tree.map(global_put, new.opt_w, ow_shard))
     shard_opt_m = (zero_opt or fsdp) and hasattr(new, "opt_m") \
         and jax.tree.leaves(getattr(new, "masks", {}))
     if shard_opt_m:
         # mask-logit moments ZeRO-shard over data even under fsdp: the masks
         # themselves stay replicated, so their moments get the zero spec
         om_shard = opt_state_sharding(new.opt_m, state.masks, mesh, zero=True)
-        new = new.replace(opt_m=jax.tree.map(jax.device_put, new.opt_m, om_shard))
+        new = new.replace(opt_m=jax.tree.map(global_put, new.opt_m, om_shard))
     for field in ("masks", "step") + (() if shard_opt_m else ("opt_m",)):
         if hasattr(new, field):
-            new = new.replace(**{field: jax.tree.map(lambda x: jax.device_put(x, repl), getattr(new, field))})
+            new = new.replace(**{field: jax.tree.map(lambda x: global_put(x, repl), getattr(new, field))})
     return new

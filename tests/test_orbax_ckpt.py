@@ -91,6 +91,77 @@ def test_orbax_restores_directly_onto_fsdp_shardings(tmp_path):
         assert b.sharding == s, (b.sharding, s)
 
 
+def test_orbax_prune_run_exports_pruned_artifacts(fixture_dataset, tmp_path):
+    """A prune run under --ckpt_backend orbax must still produce the pruned
+    exports (model_best_pruned, sparse npz, bin-mask, sparsities.csv):
+    export_pruned_best gates on the best checkpoint existing, and with
+    orbax that is a DIRECTORY, not a file (ADVICE r3: os.path.isfile gate
+    silently skipped the whole export)."""
+    argv = tiny_args(
+        fixture_dataset, tmp_path / "run", "relation_transformer_prune",
+        TINY_TRANSFORMER + ["--prune_type", "mag_blind", "--prune_sparsity_target", "0.5",
+                            "--ckpt_backend", "orbax"])
+    mod = run_train(argv, prune=True)
+    run = tmp_path / "run"
+    if not os.path.isdir(run / "model_best.orbax"):
+        # the untrained fixture model scores CIDEr 0.0, so train() never
+        # takes the best branch — force the best save through the same
+        # code path, then run the export exactly as train() does
+        mod.save_checkpoint("best")
+        mod.export_pruned_best()
+        from sparse_caption_tpu.engine.checkpoints import wait_for_checkpoints
+
+        wait_for_checkpoints()
+    assert os.path.isdir(run / "model_best.orbax"), "precondition: best ckpt saved as orbax dir"
+    assert os.path.isdir(run / "model_best_pruned.orbax"), "pruned export missing"
+    assert os.path.isfile(run / "model_best_pruned_sparse.npz")
+    assert os.path.isfile(run / "sparsities.csv")
+    # the async export saves were joined before process exit: no partial tmp dirs
+    leftovers = [p for p in os.listdir(run) if ".orbax" in p and "tmp" in p.lower()]
+    assert not leftovers, leftovers
+    # and the committed artifact is readable
+    from sparse_caption_tpu.engine.checkpoints import load_pytree
+
+    tree = load_pytree(str(run / "model_best_pruned.orbax"))
+    assert "params" in tree
+
+
+def test_is_orbax_path_rejects_plain_dirs(tmp_path):
+    """A random directory is not an orbax checkpoint; load_pytree on it
+    raises a clear error instead of an opaque orbax one (ADVICE r3)."""
+    from sparse_caption_tpu.engine.checkpoints import is_orbax_path, load_pytree
+
+    d = tmp_path / "not_a_ckpt"
+    d.mkdir()
+    assert not is_orbax_path(str(d))
+    with pytest.raises(ValueError, match="not an orbax checkpoint"):
+        load_pytree(str(d))
+    # but .orbax-suffixed paths and marker-bearing dirs are accepted
+    assert is_orbax_path(str(tmp_path / "x.orbax"))
+    (d / "_CHECKPOINT_METADATA").write_text("{}")
+    assert is_orbax_path(str(d))
+
+
+def test_find_ckpt_prefers_newer_when_both_backends_exist(tmp_path):
+    """A run restarted in place after switching --ckpt_backend leaves both
+    artifacts; resume/eval must pick the NEWER one (ADVICE r3: the
+    unconditional msgpack preference rewound training to stale weights)."""
+    import time as _time
+
+    from sparse_caption_tpu.engine.checkpoints import find_ckpt
+
+    msg = tmp_path / "model_last.msgpack"
+    orb = tmp_path / "model_last.orbax"
+    msg.write_bytes(b"x")
+    orb.mkdir()
+    now = _time.time()
+    os.utime(msg, (now - 100, now - 100))
+    os.utime(orb, (now, now))
+    assert find_ckpt(str(tmp_path), "model_last") == str(orb)
+    os.utime(msg, (now + 100, now + 100))
+    assert find_ckpt(str(tmp_path), "model_last") == str(msg)
+
+
 def test_eval_model_reads_orbax_run(fixture_dataset, tmp_path):
     """scripts/eval_model.py evaluates a run whose checkpoints are orbax
     dirs (find_ckpt resolves model_best/model_last across backends)."""
