@@ -25,6 +25,12 @@ def main(config: Config) -> None:
     from sparse_caption_tpu.utils.jax_setup import select_platform
 
     select_platform(config.get("platform"))
+    # CPU pipeline/mesh runs need virtual host devices BEFORE backend init
+    n_pipe = int(config.get("pipeline_stages") or 0)
+    if n_pipe > 1 and config.get("platform") == "cpu":
+        from sparse_caption_tpu.utils.jax_setup import ensure_host_device_count
+
+        ensure_host_device_count(n_pipe)
     # multi-process mode must connect BEFORE the first backend touch
     # (set_global_seed below creates a PRNGKey, which initializes it)
     from sparse_caption_tpu.parallel import distributed as dist

@@ -79,12 +79,31 @@ class TrainingModule:
     def __init__(self, config: Config):
         self.config = config
         os.makedirs(config.log_dir, exist_ok=True)
+        # multi-process (multi-host) mode: connect to the coordination
+        # service BEFORE the first backend touch (SURVEY §2.11 — the
+        # build's new distributed component; see parallel/distributed.py)
+        from sparse_caption_tpu.parallel import distributed as dist
+
+        self.dist = dist
+        multi = dist.maybe_initialize_from_config(config)
+        if multi and not config.get("mesh_shape"):
+            # default: all global devices on the data axis
+            config.mesh_shape = str(jax.device_count())
+        if multi and not dist.is_primary():
+            # primary-first barrier: process 0 materializes the shared
+            # log_dir artifacts (tokenizer train_captions.txt + vocab JSON,
+            # dataset caches) alone; everyone else waits, then loads the
+            # finished files — prepare_data/_train_or_load are
+            # existence-gated, so the second pass is read-only
+            dist.sync()
         self.data = get_dataset(config.dataset)(config)
         self.data.prepare_data()
 
         from sparse_caption_tpu.tokenizers import get_tokenizer
 
         self.tokenizer = get_tokenizer(config.tokenizer)(config)
+        if multi and dist.is_primary():
+            dist.sync()  # release the waiting non-primary processes
         logger.info("vocab_size=%d bos=%s eos=%s", config.vocab_size, config.bos_token_id, config.eos_token_id)
 
         name = config.caption_model
@@ -117,15 +136,6 @@ class TrainingModule:
         ckpt_ext = ".orbax" if config.get("ckpt_backend") == "orbax" else ".msgpack"
         self.checkpoint_path = os.path.join(config.log_dir, "model_{}" + ckpt_ext)
         self.optimizer_path = os.path.join(config.log_dir, "optimizer_{}" + ckpt_ext)
-        # multi-process (multi-host) mode: connect to the coordination
-        # service BEFORE the first backend touch (SURVEY §2.11 — the
-        # build's new distributed component; see parallel/distributed.py)
-        from sparse_caption_tpu.parallel import distributed as dist
-
-        self.dist = dist
-        if dist.maybe_initialize_from_config(config) and not config.get("mesh_shape"):
-            # default: all global devices on the data axis
-            config.mesh_shape = str(jax.device_count())
         # scale-out: data(+tensor)-parallel mesh when --mesh_shape is set
         self.mesh = None
         if config.get("mesh_shape"):
@@ -306,14 +316,12 @@ class TrainingModule:
             bs = min(int(self.config.batch_size), max(len(records), 1))
             if self.mesh is not None:
                 # the probe goes through shard_batch too: keep its leading
-                # dim a dp multiple, with a clear error instead of an
-                # opaque device_put failure on tiny splits
+                # dim a dp multiple; it is only a SHAPE probe, so tiny
+                # splits (fixture datasets) pad by repeating records
                 dp = self.mesh.shape["data"]
-                if bs < dp:
-                    raise ValueError(
-                        f"split '{split}' has {len(records)} records — fewer than the "
-                        f"data-parallel size {dp}; cannot build a sharded shape probe")
-                bs = (bs // dp) * dp
+                bs = max((bs // dp) * dp, dp)
+                if records and len(records) < bs:
+                    records = (records * (-(-bs // len(records))))[:bs]
             return next(iter(BatchLoader(records, self.batcher, bs, train=True,
                                          seed=int(self.config.get("seed", 8888)), prefetch=0)))
 
@@ -383,6 +391,10 @@ class TrainingModule:
         return target, weight
 
     def make_xe_step(self):
+        if int(self.config.get("pipeline_stages") or 0) >= 1:
+            # N=1 also runs the pipelined (deterministic) step, so the
+            # N=1 vs N=2 e2e equality test compares like for like
+            return self.make_xe_step_pipelined()
         criterion = self._loss_criterion()
         sp_args = self._sparsity_loss_args()
         freeze_scope = [s for s in str(self.config.get("prune_mask_freeze_scope", "")).split(",") if s]
@@ -466,6 +478,44 @@ class TrainingModule:
             new_state = state.replace(params=params, masks=masks, opt_w=new_opt_w, opt_m=new_opt_m,
                                       step=state.step + 1)
             return new_state, loss, aux
+
+        return xe_step
+
+    def make_xe_step_pipelined(self):
+        """``--pipeline_stages N``: XE train step with the decoder stack
+        executed GPipe pipeline-parallel over an N-device ``("pipe",)``
+        mesh (``parallel/pipeline.py``).  Dense transformer-family models,
+        deterministic forward (no dropout), f32 — the flag's contract is
+        the scale-out compute/communication structure, pinned by the
+        N=1 == N=2 e2e equality test (tests/test_parallel.py)."""
+        from sparse_caption_tpu.parallel.pipeline import (
+            make_pipe_mesh, pipeline_xe_train_loss_and_grads)
+
+        config = self.config
+        n_stages = int(config.pipeline_stages)
+        n_micro = int(config.get("pipeline_microbatches") or n_stages)
+        if self.mask_cfg is not None:
+            raise ValueError("--pipeline_stages covers dense models only (no masks collection)")
+        if getattr(self.model, "share_layer_decoder", None) is not None:
+            raise ValueError("--pipeline_stages needs one param set per decoder layer (no share_layer)")
+        if self.mesh is not None:
+            raise ValueError("--pipeline_stages and --mesh_shape are mutually exclusive "
+                             "(the pipe mesh owns the devices)")
+        if 0 <= int(config.get("scst_start_epoch", -1)):
+            raise ValueError("--pipeline_stages supports XE training only (no SCST phase)")
+        criterion = self._loss_criterion()
+        mesh = make_pipe_mesh(n_stages)
+        model = self.model
+        opt_w = self.opt_w
+
+        @jax.jit
+        def xe_step(state: TrainState, inputs: Dict, seq_masks, rng=None):
+            loss, gw = pipeline_xe_train_loss_and_grads(
+                model, state.params, inputs, seq_masks, criterion, mesh, n_micro)
+            uw, new_opt_w = opt_w.update(gw, state.opt_w, state.params)
+            params = optax.apply_updates(state.params, uw)
+            new_state = state.replace(params=params, opt_w=new_opt_w, step=state.step + 1)
+            return new_state, loss, {"caption_loss": loss}
 
         return xe_step
 

@@ -118,6 +118,16 @@ def add_training_args(parser) -> None:
                              "layout) or orbax (async sharded save — per-shard writes "
                              "dispatched without gathering to host, overlapping "
                              "training; restore reads either format)")
+    parser.add_argument("--pipeline_stages", type=int, default=0,
+                        help="GPipe pipeline parallelism over the decoder layer stack: "
+                             "shard L/N contiguous layers per stage over an N-device "
+                             "('pipe',) mesh, microbatches hopping stages via ppermute "
+                             "(parallel/pipeline.py). XE-only, dense transformer-family "
+                             "models, deterministic forward (no dropout); mutually "
+                             "exclusive with --mesh_shape. num_layers % N must be 0")
+    parser.add_argument("--pipeline_microbatches", type=int, default=None,
+                        help="microbatches per global batch for --pipeline_stages "
+                             "(default N; bubble fraction (N-1)/(M+N-1) — choose M >> N)")
     parser.add_argument("--fsdp", action="store_true",
                         help="ZeRO-3 / fully-sharded data parallel: shard the params "
                              "themselves over the mesh data axis (1/dp parameter + "

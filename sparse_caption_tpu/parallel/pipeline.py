@@ -224,3 +224,49 @@ def pipeline_xe_loss_and_grads(model, variables: Dict[str, Any], seqs,
     for i, k in enumerate(layer_keys):
         grads[k] = jax.tree.map(lambda a, _i=i: a[_i], g_stacked)
     return loss, grads
+
+
+def pipeline_xe_train_loss_and_grads(model, params: Dict[str, Any], inputs: Dict[str, Any],
+                                     seq_masks, criterion, mesh: Mesh, n_micro: int):
+    """Full XE training loss + grads with the decoder stack pipelined —
+    the ``--pipeline_stages`` engine path (vs :func:`pipeline_xe_loss_and_grads`,
+    which treats the encoder output as a constant for the unit tests).
+
+    The encoder runs INSIDE ``loss_fn`` (replicated on every stage), so
+    encoder/embedding/generator gradients flow; the decoder-layer grads
+    come back from the stage-sharded stacked copy and are unstacked into
+    the params tree, so the optax update applies unchanged.  Deterministic
+    (no dropout) — documented in ``opts.py --pipeline_stages``."""
+    from sparse_caption_tpu.models.transformer import subsequent_mask
+
+    seqs = inputs["seqs"]
+    enc_inputs = {k: v for k, v in inputs.items() if k != "seqs"}
+    layer_keys = decoder_layer_keys(params)
+    stacked = stack_decoder_layers(params)
+
+    def loss_fn(p, stacked_layers):
+        variables = {"params": p}
+        memory_pytree = model.apply(variables, **enc_inputs, train=False, method="encode")
+        memory, mem_mask = memory_pytree["memory"], memory_pytree["mask"]
+        tgt = seqs[:, :-1]
+        if memory.shape[0] != tgt.shape[0]:
+            assert tgt.shape[0] % memory.shape[0] == 0
+            spi = tgt.shape[0] // memory.shape[0]
+            memory = jnp.repeat(memory, spi, axis=0)
+            mem_mask = jnp.repeat(mem_mask, spi, axis=0)
+        t = tgt.shape[1]
+        tgt_mask = (tgt != model.pad_id)[:, None, None, :] & subsequent_mask(t)
+        src_mask = mem_mask[:, None, None, :]
+        x = model.apply(variables, tgt,
+                        method=lambda m, tg: m.pos_enc(m.tgt_embed(tg, False), train=False))
+        y = pipelined_decoder_stack(model, p, x, memory, src_mask, tgt_mask,
+                                    mesh, n_micro, stacked=stacked_layers)
+        lp = model.apply(variables, y,
+                         method=lambda m, h: m.generator(m.decoder_norm(h), False))
+        return criterion(lp, seqs[:, 1:], seq_masks[:, 1:])
+
+    loss, (g_p, g_stacked) = jax.value_and_grad(loss_fn, argnums=(0, 1))(params, stacked)
+    grads = {**g_p}
+    for i, k in enumerate(layer_keys):
+        grads[k] = jax.tree.map(lambda a, _i=i: a[_i], g_stacked)
+    return loss, grads

@@ -18,6 +18,18 @@ def select_platform(platform: str | None) -> None:
     jax.config.update("jax_platforms", platform)
 
 
+def ensure_host_device_count(n: int) -> None:
+    """Force >= n virtual host (CPU) devices. Must run before backend
+    initialization — XLA reads the flag at first device touch. Used by the
+    train entries so ``--platform cpu --pipeline_stages N`` (or a CPU mesh
+    run) works without hand-setting XLA_FLAGS."""
+    flags = os.environ.get("XLA_FLAGS", "")
+    if "xla_force_host_platform_device_count" in flags:
+        return
+    os.environ["XLA_FLAGS"] = (
+        flags + f" --xla_force_host_platform_device_count={int(n)}").strip()
+
+
 def enable_persistent_cache(cache_dir: str | None = None) -> None:
     """Enable the XLA persistent compilation cache (big win on slow hosts;
     TPU executables are cached too, cutting the ~20-40s first-compile cost

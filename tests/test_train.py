@@ -434,3 +434,52 @@ def test_train_prune_gradual(on_device, fixture_dataset, tmp_path):
 
     s, _, _ = mask_sparsity(module.state.masks, "mag_grad_uniform")
     assert abs(float(s) - 0.5) < 0.05
+
+
+def test_train_pipeline_stages_flag(fixture_dataset, tmp_path):
+    """--pipeline_stages N (GPipe over the decoder stack) as a real
+    training flag: N=1 and N=2 runs with identical seeds produce
+    IDENTICAL final params (stage-sharding changes nothing numerically);
+    loss/grad equality vs the sequential deterministic backward is pinned
+    at the library level by test_parallel.py::
+    test_pipeline_train_grads_match_sequential."""
+    import json
+
+    import jax
+    import numpy as np
+
+    from sparse_caption_tpu.engine.checkpoints import load_pytree
+
+    runs = {}
+    for n in (1, 2):
+        argv = tiny_args(fixture_dataset, tmp_path / f"pipe{n}", "transformer",
+                         TINY_TRANSFORMER + ["--num_layers", "2",
+                                             "--pipeline_stages", str(n)])
+        runs[n] = run_train(argv)
+    losses = {}
+    for n, mod in runs.items():
+        scal = os.path.join(mod.config.log_dir, "scalars.jsonl")
+        recs = [json.loads(ln) for ln in open(scal)]
+        losses[n] = [r["value"] for r in recs if r.get("tag") == "train/caption_loss"]
+    assert losses[1] and len(losses[1]) == len(losses[2])
+    np.testing.assert_allclose(losses[1], losses[2], atol=1e-5)
+    a = load_pytree(os.path.join(runs[1].config.log_dir, "model_last.msgpack"))
+    b = load_pytree(os.path.join(runs[2].config.log_dir, "model_last.msgpack"))
+    for x, y in zip(jax.tree.leaves(a), jax.tree.leaves(b)):
+        np.testing.assert_allclose(np.asarray(x), np.asarray(y), atol=1e-5)
+
+
+def test_pipeline_stages_flag_guards(fixture_dataset, tmp_path):
+    """--pipeline_stages rejects masked models, --mesh_shape, and SCST."""
+    import pytest as _pytest
+
+    argv = tiny_args(fixture_dataset, tmp_path / "g1", "transformer",
+                     TINY_TRANSFORMER + ["--num_layers", "2", "--pipeline_stages", "2",
+                                         "--mesh_shape", "2"])
+    with _pytest.raises(ValueError, match="mutually exclusive"):
+        run_train(argv)
+    argv = tiny_args(fixture_dataset, tmp_path / "g2", "transformer",
+                     TINY_TRANSFORMER + ["--num_layers", "2", "--pipeline_stages", "2",
+                                         "--scst_start_epoch", "0"])
+    with _pytest.raises(ValueError, match="XE training only"):
+        run_train(argv)
