@@ -34,6 +34,8 @@ REGIONS, FEAT, MAX_LEN, BEAM = 36, 2048, 17, 5
 
 
 def _stub_reference_deps() -> None:
+    import importlib.machinery
+
     for name, mod in {
         "sentencepiece": dict(SentencePieceTrainer=object, SentencePieceProcessor=object),
         "tqdm": dict(tqdm=lambda x, **k: x),
@@ -41,6 +43,9 @@ def _stub_reference_deps() -> None:
         m = types.ModuleType(name)
         for k, v in mod.items():
             setattr(m, k, v)
+        # torch._dynamo.trace_rules walks sys.modules and calls
+        # importlib.util.find_spec on each name — a None __spec__ raises
+        m.__spec__ = importlib.machinery.ModuleSpec(name, None)
         sys.modules.setdefault(name, m)
     if "pkg_resources" not in sys.modules:
         import packaging

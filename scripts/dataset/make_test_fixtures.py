@@ -36,13 +36,17 @@ CAPTIONS = [
      "food arranged on a dinner table", "a plate with vegetables and meat", "dinner on a wooden table"],
     ["a man holding a surfboard", "a surfer carries his board",
      "man with a surfboard at the beach", "a person holding a white surfboard", "surfer walking on the sand"],
+    ["a cat sleeping on a bed", "a kitten curled up on blankets",
+     "the cat naps on a pillow", "a cat resting on white sheets", "a sleepy cat on a bed"],
+    ["a bus driving down a street", "a city bus on the road",
+     "the bus travels past buildings", "a large bus on a busy street", "a bus moving through traffic"],
 ]
 
 
 def make_fixtures(output_dir: str, att_feat_size: int = 2048, max_regions: int = 5, seed: int = 8888) -> str:
     rng = np.random.default_rng(seed)
     os.makedirs(output_dir, exist_ok=True)
-    splits = ["train", "train", "val", "val", "test", "test"]
+    splits = ["train", "train", "val", "val", "test", "test", "train", "train"]
     images = []
     for i, (split, caps) in enumerate(zip(splits, CAPTIONS)):
         coco_split = "train2014" if split == "train" else "val2014"

@@ -160,11 +160,15 @@ class TrainingModule:
     # ------------------------------------------------------------- loaders
     def get_loader(self, split: str, train: bool) -> BatchLoader:
         bs = self.config.batch_size if train else self.config.get("batch_size_eval", self.config.batch_size)
-        # train iterates per-caption records (~5x per image on COCO) exactly
-        # like the reference DataLoader (utils/training.py:97-116 over the raw
-        # split, karpathy.py:55-80 dedups only in generation mode); eval
-        # dedups to one record per image
-        records = self.data.get_split(split, generation_mode=not train)
+        # BOTH train and eval iterate per-IMAGE records: the reference's
+        # train dataloader passes generation_mode=True too
+        # (utils/training.py:85-87) and its train collate draws
+        # min(seq_per_img, len) captions per image per step
+        # (collate.py:133-138) — an "epoch" is one pass over IMAGES, not
+        # captions. (Round-4 parity fix: earlier rounds iterated
+        # per-caption records, running 5x the reference's optimizer steps
+        # per nominal epoch on COCO.)
+        records = self.data.get_split(split, generation_mode=True)
         return BatchLoader(records, self.batcher, bs, train=train, seed=int(self.config.get("seed", 8888)),
                            process_index=self.dist.process_index(),
                            process_count=self.dist.process_count())

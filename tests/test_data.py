@@ -31,7 +31,7 @@ def prepared(fixture_dataset, tmp_path):
 def test_splits_and_generation_mode(prepared):
     cfg, ds, tok = prepared
     train = ds.get_split("train")
-    assert len(train) == 2 * 5  # 2 train images x 5 captions
+    assert len(train) == 4 * 5  # 4 train images x 5 captions
     gen = ds.get_split("val", generation_mode=True)
     assert len(gen) == 2  # deduped per image
     assert all("all_gts" in d and len(d["all_gts"]) == 5 for d in gen)
@@ -74,7 +74,7 @@ def test_loader_train_drop_last_and_eval_padding(prepared, fixture_dataset):
     batcher = CaptionBatcher(cfg, tok, src)
     train = BatchLoader(ds.get_split("train"), batcher, batch_size=3, train=True)
     batches = list(train)
-    assert len(batches) == 10 // 3
+    assert len(batches) == 20 // 3
     assert all(b["batch_valid"] == 3 for b in batches)
     # eval: 2 records, batch 3 -> one padded batch
     ev = BatchLoader(ds.get_split("val", generation_mode=True), batcher, batch_size=3, train=False)

@@ -53,21 +53,24 @@ def run_train(argv, prune: bool = False):
     return module
 
 
-def test_train_loader_iterates_per_caption_records(fixture_dataset, tmp_path):
-    """A train epoch covers one record per (image, caption) — ~5x per image on
-    COCO — matching the reference DataLoader over the raw split
-    (utils/training.py:97-116; karpathy.py:55-80 dedups only in generation
-    mode). Eval loaders dedup to one record per image."""
+def test_train_loader_iterates_per_image_records(fixture_dataset, tmp_path):
+    """A train epoch covers one record per IMAGE with seq_per_img captions
+    sampled per step — matching the reference's train dataloader, which
+    passes generation_mode=True (utils/training.py:85-87) and samples
+    min(seq_per_img, len) captions per image in its train collate
+    (collate.py:133-138). Eval loaders are per-image too."""
     args = parse_opt(tiny_args(fixture_dataset, tmp_path, "transformer", TINY_TRANSFORMER))
     config = Config(**vars(args))
     from sparse_caption_tpu.engine.training import TrainingModule
 
     module = TrainingModule(config)
-    n_caption_records = len(module.data.get_split("train"))
-    assert n_caption_records == 2 * 5  # 2 train images x 5 captions each
+    assert len(module.data.get_split("train")) == 4 * 5  # raw per-caption records
     train_loader = module.get_loader("train", train=True)
-    assert len(train_loader.records) == n_caption_records
-    assert len(train_loader) == n_caption_records // config.batch_size
+    assert len(train_loader.records) == 4  # one record per train image
+    assert len(train_loader) == 4 // config.batch_size
+    batch = next(iter(train_loader))
+    # each step still carries batch_size x seq_per_img sampled captions
+    assert batch["seqs"].shape[0] == config.batch_size * config.seq_per_img
     val_loader = module.get_loader("val", train=False)
     assert len(val_loader.records) == 2  # deduped per image
 
@@ -174,8 +177,10 @@ def test_train_prune(prune_type, fixture_dataset, tmp_path):
         # enough optimizer steps + the reference toy-test sparsity-loss
         # weight (tests/test_prune.py:46 uses weight=120 over 40 iters) so
         # the anneal actually drives the masks to the target within the run
-        extra += ["--max_epochs", "5", "--prune_supermask_sparsity_weight", "120",
-                  "--save_checkpoint_every", "5", "--losses_log_every", "5"]
+        # per-image epochs: 4 train imgs / batch 2 = 2 steps/epoch; 20 epochs
+        # = 40 optimizer steps (the reference toy horizon, tests/test_prune.py:46)
+        extra += ["--max_epochs", "20", "--prune_supermask_sparsity_weight", "120",
+                  "--save_checkpoint_every", "10", "--losses_log_every", "10"]
     argv = tiny_args(fixture_dataset, tmp_path, "relation_transformer_prune",
                      TINY_TRANSFORMER + extra)
     module = run_train(argv, prune=True)
@@ -411,7 +416,7 @@ def test_profile_dir_writes_trace(fixture_dataset, tmp_path):
 
     argv = tiny_args(fixture_dataset, tmp_path, "transformer",
                      TINY_TRANSFORMER + ["--profile_dir", str(tmp_path / "prof"),
-                                         "--profile_steps", "2"])
+                                         "--profile_steps", "2", "--max_epochs", "3"])
     run_train(argv)
     traces = glob.glob(str(tmp_path / "prof" / "**" / "*.trace.json.gz"), recursive=True)
     assert traces, "no profiler trace written"
@@ -423,7 +428,7 @@ def test_train_prune_gradual(on_device, fixture_dataset, tmp_path):
     (pre_log_hook schedule), with thresholds computed on host or
     on-device (--prune_gradual_on_device, jnp.quantile path)."""
     extra = ["--prune_type", "mag_grad_uniform", "--prune_sparsity_target", "0.5",
-             "--prune_gradual_frequency", "2", "--max_epochs", "8",
+             "--prune_gradual_frequency", "2", "--max_epochs", "20",
              "--save_checkpoint_every", "50"]
     if on_device:
         extra.append("--prune_gradual_on_device")
