@@ -91,6 +91,40 @@ def test_orbax_restores_directly_onto_fsdp_shardings(tmp_path):
         assert b.sharding == s, (b.sharding, s)
 
 
+@pytest.mark.skipif(jax.device_count() < 8, reason="needs 8 virtual devices")
+def test_orbax_restore_across_mesh_shape_change(tmp_path):
+    """A checkpoint written from one mesh topology restores onto a DIFFERENT
+    one (values exact, new shardings honored) — the shard-layout mechanics of
+    restoring after a process-count change (SURVEY §2.11: a run saved on
+    N hosts must resume on M). Orbax per-shard files are keyed by the global
+    array, not the writing topology, so a (4,2)-mesh FSDP save must land on
+    (2,4) and pure-dp (8,) shardings unchanged."""
+    import jax.numpy as jnp
+
+    from sparse_caption_tpu.engine.checkpoints import (
+        load_pytree_orbax, save_pytree, wait_for_checkpoints)
+    from sparse_caption_tpu.models.transformer import Transformer
+    from sparse_caption_tpu.parallel import make_mesh, param_sharding
+
+    m = Transformer(vocab_size=16, d_model=8, dim_feedforward=16, num_layers=1,
+                    num_heads=2, att_feat_size=4, max_seq_length=5)
+    params = m.init({"params": jax.random.PRNGKey(0)}, jnp.ones((2, 3, 4)), jnp.ones((2, 3)),
+                    jnp.ones((2, 5), jnp.int32))["params"]
+    mesh_a = make_mesh("4,2")
+    sh_a = param_sharding(params, mesh_a, fsdp=True)
+    p = save_pytree(str(tmp_path / "a.orbax"), jax.tree.map(jax.device_put, params, sh_a))
+    wait_for_checkpoints()
+
+    for shape, fsdp in (("2,4", True), ("8", True), ("8", False)):
+        mesh_b = make_mesh(shape)
+        sh_b = param_sharding(params, mesh_b, fsdp=fsdp)
+        back = load_pytree_orbax(p, params, shardings=sh_b)
+        for a, b, s in zip(jax.tree.leaves(params), jax.tree.leaves(back),
+                           jax.tree.leaves(sh_b)):
+            np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+            assert b.sharding == s, (shape, fsdp, b.sharding, s)
+
+
 def test_orbax_prune_run_exports_pruned_artifacts(fixture_dataset, tmp_path):
     """A prune run under --ckpt_backend orbax must still produce the pruned
     exports (model_best_pruned, sparse npz, bin-mask, sparsities.csv):
