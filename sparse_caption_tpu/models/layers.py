@@ -143,15 +143,6 @@ class SublayerConnection(nn.Module):
         return x + TimeDropout(self.dropout_rate)(y, train, t=t, replay_time=replay_time)
 
 
-def _attn_time_major() -> bool:
-    """A/B switch for the full-sequence attention layout
-    (scripts/ab_xe_layout.py): time_major keeps q/k/v in the projected
-    (B, T, h, dk) layout with no head transposes."""
-    import os
-
-    return os.environ.get("SPARSE_CAPTION_ATTN_LAYOUT", "") == "time_major"
-
-
 def _split_heads(x, h: int):
     """(B, T, D) -> (B, h, T, D/h)."""
     b, t, d = x.shape
@@ -230,44 +221,10 @@ class MultiHeadAttention(nn.Module):
         ``attn_dropout=False`` skips the attention-prob dropout — used by the
         teacher-forced SCST replay, whose step-mode counterpart
         (decode_self/decode_cross) applies none."""
-        drop = self.attn_dropout if (train and attn_dropout) else None
-        drop_fn = (lambda p: drop(p, deterministic=False)) if drop else None
-        if _attn_time_major():
-            # A/B variant (SPARSE_CAPTION_ATTN_LAYOUT=time_major): keep
-            # q/k/v in their projected (B, T, h, dk) layout and let the
-            # einsums carry the head dim — no (B,h,T,dk) transposes, aimed
-            # at the train-step layout copies (profile_xe_r3: 30 ms/step).
-            # Numerically identical; benched by scripts/ab_xe_layout.py.
-            h = self.num_heads
-            q3 = self.q_proj(query, train)
-            b, tq, d = q3.shape
-            q = q3.reshape(b, tq, h, d // h)
-            if self.share_att == "kv":
-                k = self.kv_proj(key, train)
-                k = k.reshape(k.shape[0], k.shape[1], h, d // h)
-                v = k
-            elif self.share_att == "qk":
-                k = self.q_proj(key, train)
-                k = k.reshape(k.shape[0], k.shape[1], h, d // h)
-                v = self.v_proj(value, train)
-                v = v.reshape(v.shape[0], v.shape[1], h, d // h)
-            else:
-                k = self.k_proj(key, train)
-                k = k.reshape(k.shape[0], k.shape[1], h, d // h)
-                v = self.v_proj(value, train)
-                v = v.reshape(v.shape[0], v.shape[1], h, d // h)
-            dk = d // h
-            scores = jnp.einsum("bqhd,bkhd->bhqk", q, k) / math.sqrt(dk)
-            if mask is not None:
-                scores = jnp.where(mask == 0, jnp.asarray(NEG_INF, scores.dtype), scores)
-            probs = jax.nn.softmax(scores, axis=-1)
-            if drop_fn is not None:
-                probs = drop_fn(probs)
-            out = jnp.einsum("bhqk,bkhd->bqhd", probs, v).reshape(b, tq, d)
-            return self.out_proj(out, train)
         q = _split_heads(self.q_proj(query, train), self.num_heads)
         k, v = self._project_kv(key, value, train)
-        out = scaled_dot_attention(q, k, v, mask=mask, dropout=drop_fn)
+        drop = self.attn_dropout if (train and attn_dropout) else None
+        out = scaled_dot_attention(q, k, v, mask=mask, dropout=(lambda p: drop(p, deterministic=False)) if drop else None)
         return self.out_proj(_merge_heads(out), train)
 
     # ---------------------------------------------------------------- decode

@@ -294,28 +294,3 @@ class TestGeneration:
         row = np.asarray(seq[0, 0])
         nz = row[row != 0]
         assert all(nz[i] != nz[i + 1] for i in range(len(nz) - 1))
-
-
-def test_attn_time_major_layout_equivalence(monkeypatch):
-    """SPARSE_CAPTION_ATTN_LAYOUT=time_major (the TPU layout A/B variant,
-    scripts/ab_xe_layout.py) computes the identical attention — only the
-    tensor layout differs (no head transposes)."""
-    import jax
-    import jax.numpy as jnp
-    import numpy as np
-
-    from sparse_caption_tpu.models.transformer import Transformer
-
-    model = Transformer(vocab_size=30, d_model=16, dim_feedforward=32, num_layers=2,
-                        num_heads=4, att_feat_size=8, max_seq_length=12)
-    rng = jax.random.PRNGKey(0)
-    att = jax.random.normal(rng, (3, 6, 8))
-    am = jnp.ones((3, 6), jnp.float32)
-    seqs = jax.random.randint(rng, (3, 12), 4, 30).at[:, 0].set(2)
-    vs = model.init({"params": rng, "mask": rng, "dropout": rng, "ss": rng},
-                    att_feats=att, att_masks=am, seqs=seqs)
-    monkeypatch.delenv("SPARSE_CAPTION_ATTN_LAYOUT", raising=False)
-    base = model.apply(vs, att_feats=att, att_masks=am, seqs=seqs, train=False)
-    monkeypatch.setenv("SPARSE_CAPTION_ATTN_LAYOUT", "time_major")
-    tm = model.apply(vs, att_feats=att, att_masks=am, seqs=seqs, train=False)
-    np.testing.assert_allclose(np.asarray(base), np.asarray(tm), atol=1e-5)
