@@ -21,7 +21,10 @@ def parse_args():
     p = argparse.ArgumentParser(formatter_class=argparse.ArgumentDefaultsHelpFormatter)
     p.add_argument("--log_dir", type=str, required=True, help="run dir containing config.json + checkpoints")
     p.add_argument("--ckpt", type=str, default="best", help="checkpoint tag (best/last/...) or file path")
-    p.add_argument("--split", type=str, default="test", choices=["val", "test"])
+    p.add_argument("--split", type=str, default="test", choices=["train", "val", "test"],
+                   help="'train' evaluates memorization on the train images "
+                        "(deduped, generation mode) — beyond the reference, whose "
+                        "eval_model restricts to val/test (utils/training.py:330-344)")
     p.add_argument("--beam_size", type=int, default=None)
     p.add_argument("--eval_dir_suffix", type=str, default=None)
     # decode-option overrides (the reference passes the run config as the

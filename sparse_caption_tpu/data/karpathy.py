@@ -137,9 +137,14 @@ class KarpathyDataset(ABC):
         return path
 
     def coco_annot_json_dump(self, json_fpath: str) -> None:
+        # train GT included so `eval_model --split train` (memorization eval,
+        # beyond the reference) can score; the metric stack subsets the GT to
+        # prediction ids (metrics/eval.py:53), so val/test scores are
+        # unaffected — mirroring the official captions_val2014.json, which
+        # also carries non-eval (restval train) images
         annot = dict(images=[], annotations=[], info="", type="captions", licenses="")
         ann_id = 0
-        for split in ("val", "test"):
+        for split in ("train", "val", "test"):
             for d in self.get_split(split, generation_mode=True):
                 annot["images"].append({"id": d["img_id"]})
                 for cap in d["all_captions"]:

@@ -146,8 +146,8 @@ def test_annotation_file(prepared):
     import json
 
     ann = json.load(open(ds.annotation_file_path()))
-    assert len(ann["images"]) == 4  # 2 val + 2 test images
-    assert len(ann["annotations"]) == 20
+    assert len(ann["images"]) == 8  # 4 train (for --split train eval) + 2 val + 2 test
+    assert len(ann["annotations"]) == 40
 
 
 REFERENCE_DATA = "/root/reference/tests/data"

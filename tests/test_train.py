@@ -291,6 +291,21 @@ def test_eval_model_script(fixture_dataset, tmp_path):
     assert r.returncode == 0, r.stderr[-3000:]
     assert "CIDEr" in r.stdout
 
+    # --split train: memorization eval on the train images (beyond the
+    # reference, whose eval_model restricts to val/test) — scores resolve
+    # against the annotation file's train GT (4-image corpus)
+    r = subprocess.run(
+        [sys.executable, os.path.join(os.path.dirname(__file__), "..", "scripts", "eval_model.py"),
+         "--log_dir", module.config.log_dir, "--ckpt", "last", "--split", "train", "--beam_size", "1",
+         "--platform", "cpu"],
+        capture_output=True, text=True, timeout=900,
+    )
+    assert r.returncode == 0, r.stderr[-3000:]
+    assert "CIDEr" in r.stdout
+    import glob as _glob
+
+    assert _glob.glob(os.path.join(module.config.log_dir, "train_beam_1", "score_*.json"))
+
 
 def test_eval_model_preserves_run_config_and_folds_masks(fixture_dataset, tmp_path):
     """eval_model on a PRUNE run must (a) not rewrite the training run's
