@@ -158,3 +158,19 @@ def test_two_process_train_matches_single_process(fixture_dataset, tmp_path):
 
     # eval artifacts were produced exactly once (primary only)
     assert os.path.isfile(mp_dir / "val_beam_1" / "scores.csv")
+
+    # resume across a process-count change: a SINGLE process picks up the
+    # 2-process run's checkpoints and trains on (SURVEY §2.11: a run saved
+    # on N hosts must resume on M)
+    resume_dir = tmp_path / "resumed"
+    argv = list(TINY)
+    argv[argv.index("--max_epochs") + 1] = "4"
+    r = subprocess.run(
+        [sys.executable, TRAIN] + argv + [
+            "--dataset_dir", fixture_dataset, "--log_dir", str(resume_dir),
+            "--start_from", str(mp_dir), "--resume_training", "--mesh_shape", "4"],
+        env=env_with(4), capture_output=True, text=True, timeout=1800)
+    assert r.returncode == 0, r.stderr[-4000:]
+    resumed = load_pytree(str(resume_dir / "optimizer_last.msgpack"))
+    started = load_pytree(str(mp_dir / "optimizer_last.msgpack"))
+    assert int(np.asarray(resumed["step"])) > int(np.asarray(started["step"]))
