@@ -169,7 +169,12 @@ class TrainingModule:
         # per-caption records, running 5x the reference's optimizer steps
         # per nominal epoch on COCO.)
         records = self.data.get_split(split, generation_mode=True)
+        # --num_workers maps to the prefetch-queue depth (the loader is one
+        # daemon thread + bounded queue, not a worker pool; 0 = inline
+        # loading, matching the reference's num_workers=0 semantics)
+        prefetch = max(0, int(self.config.get("num_workers", 4)))
         return BatchLoader(records, self.batcher, bs, train=train, seed=int(self.config.get("seed", 8888)),
+                           prefetch=prefetch,
                            process_index=self.dist.process_index(),
                            process_count=self.dist.process_count())
 

@@ -47,3 +47,55 @@ def test_every_reference_flag_is_covered():
     # exceptions list stays honest: drop entries that became implemented
     stale = sorted(f for f in EXCEPTIONS if f in ours)
     assert not stale, f"EXCEPTIONS now implemented, remove: {stale}"
+
+
+# flags whose only legitimate consumer is argparse/Config itself
+_READ_EXEMPT = {
+    "logging_level",  # consumed by configure_logging(args.logging_level) pre-Config
+    "id",  # run-name component of log_dir, resolved at parse time (opts.py)
+}
+
+
+def test_every_parsed_flag_is_read_somewhere():
+    """Anti-'parsed but ignored' check: every --flag our parsers declare must
+    be READ as a config/args key somewhere outside its own add_argument
+    line. The name-coverage test above would pass for a flag that parses
+    into Config and is never looked at again; this one fails for it."""
+    declared = set()
+    sources = []  # (path, text)
+    for sub in ("sparse_caption_tpu", "scripts"):
+        for dirpath, dirnames, filenames in os.walk(os.path.join(REPO, sub)):
+            dirnames[:] = [d for d in dirnames if d != "__pycache__"]
+            for fn in filenames:
+                if fn.endswith(".py"):
+                    with open(os.path.join(dirpath, fn), errors="ignore") as f:
+                        text = f.read()
+                    sources.append((os.path.join(dirpath, fn), text))
+                    declared.update(re.findall(r'add_argument\(\s*"--([a-z_0-9]+)"', text))
+    for path in ("bench.py", "__graft_entry__.py"):
+        with open(os.path.join(REPO, path), errors="ignore") as f:
+            sources.append((path, f.read()))
+    assert len(declared) > 80, f"flag extraction broke? found only {len(declared)}"
+
+    unread = []
+    for key in sorted(declared - _READ_EXEMPT):
+        # a read looks like `.key`, `"key"` or `'key'` on a line that is not
+        # the add_argument declaration; dynamic f-string reads like
+        # f"beam_size_{split}" cover beam_size_val/... via the prefix
+        # alternatives (`beam_size_{`)
+        prefixes = [key]
+        parts = key.split("_")
+        for i in range(1, len(parts)):
+            prefixes.append("_".join(parts[:i]) + "_")
+        alts = "|".join(rf"[\"']{re.escape(p)}\{{" for p in prefixes)
+        pat = re.compile(rf"(\.{key}\b|[\"']{key}[\"']|{alts})")
+        hits = 0
+        for _, text in sources:
+            for line in text.splitlines():
+                if "add_argument" in line:
+                    continue
+                if pat.search(line):
+                    hits += 1
+        if hits == 0:
+            unread.append(key)
+    assert not unread, f"flags parsed but never read anywhere: {unread}"
