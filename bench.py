@@ -780,7 +780,11 @@ class _Emitter:
 
     def __init__(self):
         self.out = {}
-        self.lock = threading.Lock()
+        # RLock: a SIGTERM/SIGALRM handler runs on the MAIN thread and calls
+        # flush_truncated — if the signal lands while update() holds the
+        # lock, a plain Lock would self-deadlock and the flush guarantee
+        # (and the os._exit behind it) would never run
+        self.lock = threading.RLock()
         self.t0 = time.monotonic()
 
     def elapsed(self):
@@ -803,10 +807,15 @@ class _Emitter:
 
     def flush_truncated(self, why):
         with self.lock:
-            if self.out.get("value") is None:
-                return  # nothing meaningful to report yet
             self.out["truncated"] = True
             self.out["truncated_reason"] = why
+            if self.out.get("value") is None:
+                # killed before the primary decode completed: still emit an
+                # explicit truncation record (a silent rc-0 exit would read
+                # as a clean run with no JSON)
+                self.out.setdefault("metric", "captions_per_sec_per_chip_beam5")
+                self.out.setdefault("value", None)
+                self.out.setdefault("unit", "captions/sec")
             self._print()
 
 
@@ -859,10 +868,12 @@ def main() -> None:
     f256 = ort_xe_flops(256)
 
     def mfu(flops, sps):
-        return round(flops * sps / (peak * 1e12), 4) if (peak and sps) else None
+        # None-checks, not falsy: a measured 0.0 must emit as 0.0, not read
+        # as "section skipped"
+        return round(flops * sps / (peak * 1e12), 4) if (peak is not None and sps is not None) else None
 
     def rnd(x, nd=3):
-        return round(x, nd) if x else None
+        return round(x, nd) if x is not None else None
 
     # ---- primary section FIRST: a complete JSON line exists the moment the
     # headline decode number is measured

@@ -127,8 +127,9 @@ def run_config(name: str, iters: int) -> None:
 
     flops = ort_xe_flops(b, spi=SPI, n=REGIONS, t=t, d=d, ff=ff, L=layers, v=VOCAB, feat=FEAT)
     sps = iters / wall
-    dev = jax.devices()[0]
-    peak = 197.0 if "v5 lite" in getattr(dev, "device_kind", "") else None
+    from bench import PEAK_TFLOPS
+
+    peak = PEAK_TFLOPS.get(jax.devices()[0].device_kind)
     print(json.dumps({
         "d_model": d, "ff": ff, "layers": layers, "batch_images": b, "seq_len": t,
         "bf16_compute": bf16, "params_m": round(n_params / 1e6, 1),

@@ -69,6 +69,20 @@ def main():
 
     config = Config.load_config_json(args.log_dir)
     config.log_dir = args.log_dir
+    if config.get("mesh_shape"):
+        # a training mesh persisted from an explicit --mesh_shape; eval on a
+        # host that cannot satisfy it (e.g. one chip) degrades to
+        # single-device — checkpoints hold full replicated values
+        import math as _math
+
+        mesh_n = _math.prod(int(x) for x in str(config.mesh_shape).split(","))
+        if mesh_n > jax.device_count():
+            import logging
+
+            logging.getLogger(__name__).warning(
+                "config mesh_shape %s needs %d devices but %d are available; "
+                "evaluating single-device", config.mesh_shape, mesh_n, jax.device_count())
+            config.mesh_shape = None
     # read-only: never rewrite the training run's config.json with the
     # eval-time mutations below (stripped model name, decode overrides) —
     # a later --resume_training must see the ORIGINAL config

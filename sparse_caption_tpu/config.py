@@ -71,14 +71,28 @@ class Config:
         body = ",\n  ".join(f"{k}={v!r}" for k, v in sorted(self._data.items()))
         return f"Config(\n  {body}\n)"
 
+    # launch-topology keys, never run semantics: persisting them would make
+    # any later entry that loads this config.json re-enter multi-process
+    # init (jax.distributed.initialize blocks waiting for the other
+    # processes) or rebuild a mesh the current host cannot satisfy
+    TRANSIENT_KEYS = (
+        "dist_coordinator", "dist_num_processes", "dist_process_id",
+        "dist_local_device_count", "dist_platform", "config_save_skip",
+    )
+
     # -- persistence ---------------------------------------------------------
     def save_config(self, log_dir: str, exist_ok: bool = True) -> str:
         os.makedirs(log_dir, exist_ok=True)
         path = os.path.join(log_dir, "config.json")
         if os.path.isfile(path) and not exist_ok:
             raise FileExistsError(path)
+        data = {k: v for k, v in self._data.items() if k not in self.TRANSIENT_KEYS}
+        if data.pop("mesh_shape_auto", None):
+            # mesh_shape derived from THIS launch's global device count
+            # (multi-process default) — not portable to a later eval host
+            data.pop("mesh_shape", None)
         with open(path, "w") as f:
-            json.dump(self._data, f, indent=2, sort_keys=True, default=str)
+            json.dump(data, f, indent=2, sort_keys=True, default=str)
         return path
 
     @classmethod

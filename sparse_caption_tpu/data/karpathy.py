@@ -129,11 +129,25 @@ class KarpathyDataset(ABC):
             # into two bogus training sentences for the tokenizer trainers
             f.write("\n".join(" ".join(d["caption"].split()) for d in self.data["train"]))
 
+    _ANNOT_SPLITS = ("train", "val", "test")
+
     def annotation_file_path(self) -> str:
-        """COCO-style GT annotation JSON used by the metric stack."""
+        """COCO-style GT annotation JSON used by the metric stack.
+
+        Regenerates a cached file that predates train-GT inclusion (its
+        ``__splits__`` marker is absent/short) — otherwise an old run dir
+        evaluated with ``--split train`` would score against empty
+        reference lists and crash deep in the BLEU scorer."""
         path = os.path.join(self.config.log_dir, "annotations", self.ANNOTATION_FILE)
-        if not os.path.isfile(path):
-            self.coco_annot_json_dump(path)
+        if os.path.isfile(path):
+            try:
+                with open(path) as f:
+                    marker = json.load(f).get("__splits__", [])
+            except (json.JSONDecodeError, OSError):
+                marker = []
+            if list(marker) == list(self._ANNOT_SPLITS):
+                return path
+        self.coco_annot_json_dump(path)
         return path
 
     def coco_annot_json_dump(self, json_fpath: str) -> None:
@@ -142,9 +156,10 @@ class KarpathyDataset(ABC):
         # prediction ids (metrics/eval.py:53), so val/test scores are
         # unaffected — mirroring the official captions_val2014.json, which
         # also carries non-eval (restval train) images
-        annot = dict(images=[], annotations=[], info="", type="captions", licenses="")
+        annot = dict(images=[], annotations=[], info="", type="captions", licenses="",
+                     __splits__=list(self._ANNOT_SPLITS))
         ann_id = 0
-        for split in ("train", "val", "test"):
+        for split in self._ANNOT_SPLITS:
             for d in self.get_split(split, generation_mode=True):
                 annot["images"].append({"id": d["img_id"]})
                 for cap in d["all_captions"]:

@@ -87,8 +87,10 @@ class TrainingModule:
         self.dist = dist
         multi = dist.maybe_initialize_from_config(config)
         if multi and not config.get("mesh_shape"):
-            # default: all global devices on the data axis
+            # default: all global devices on the data axis; marked auto so
+            # save_config leaves it out (not portable to a later eval host)
             config.mesh_shape = str(jax.device_count())
+            config.mesh_shape_auto = True
         if multi and not dist.is_primary():
             # primary-first barrier: process 0 materializes the shared
             # log_dir artifacts (tokenizer train_captions.txt + vocab JSON,
@@ -512,6 +514,11 @@ class TrainingModule:
                              "(the pipe mesh owns the devices)")
         if 0 <= int(config.get("scst_start_epoch", -1)):
             raise ValueError("--pipeline_stages supports XE training only (no SCST phase)")
+        logger.warning(
+            "--pipeline_stages %d uses the DETERMINISTIC pipelined step: "
+            "dropout is not applied (regularization differs from the "
+            "default XE step; the flag's contract is the GPipe "
+            "compute/communication structure)", n_stages)
         criterion = self._loss_criterion()
         mesh = make_pipe_mesh(n_stages)
         model = self.model

@@ -149,6 +149,18 @@ def test_annotation_file(prepared):
     assert len(ann["images"]) == 8  # 4 train (for --split train eval) + 2 val + 2 test
     assert len(ann["annotations"]) == 40
 
+    # a cached file that predates train-GT inclusion (no __splits__ marker)
+    # is regenerated, not trusted — otherwise --split train on an old run
+    # dir would score against empty reference lists
+    path = ds.annotation_file_path()
+    stale = {k: v for k, v in ann.items() if k != "__splits__"}
+    stale["annotations"] = [a for a in ann["annotations"] if a["image_id"] >= 100002]
+    with open(path, "w") as f:
+        json.dump(stale, f)
+    fresh = json.load(open(ds.annotation_file_path()))
+    assert fresh["__splits__"] == ["train", "val", "test"]
+    assert len(fresh["annotations"]) == 40
+
 
 REFERENCE_DATA = "/root/reference/tests/data"
 

@@ -92,6 +92,31 @@ def test_loader_process_shards_reassemble_global_batch(fixture_dataset, tmp_path
         assert n == len(full) > 0
 
 
+def test_dist_flags_never_persist_to_config_json(tmp_path):
+    """Launch-topology keys (dist_*) and the auto-derived mesh_shape must
+    NOT be written to config.json: a later eval/resume entry loading that
+    config would re-enter jax.distributed.initialize and block waiting for
+    processes that no longer exist (or rebuild a mesh the eval host cannot
+    satisfy)."""
+    import json
+
+    from sparse_caption_tpu.config import Config
+
+    cfg = Config(log_dir=str(tmp_path), dist_coordinator="127.0.0.1:9",
+                 dist_num_processes=2, dist_process_id=0, dist_platform="cpu",
+                 dist_local_device_count=2, mesh_shape="4", mesh_shape_auto=True,
+                 caption_model="transformer")
+    path = cfg.save_config(str(tmp_path))
+    saved = json.load(open(path))
+    for k in Config.TRANSIENT_KEYS + ("mesh_shape", "mesh_shape_auto"):
+        assert k not in saved, k
+    assert saved["caption_model"] == "transformer"
+    # an EXPLICIT user mesh persists (same-topology resume keeps it)
+    cfg2 = Config(log_dir=str(tmp_path), mesh_shape="4,2")
+    saved2 = json.load(open(cfg2.save_config(str(tmp_path))))
+    assert saved2["mesh_shape"] == "4,2"
+
+
 @pytest.mark.slow
 def test_two_process_train_matches_single_process(fixture_dataset, tmp_path):
     """2 processes x 2 virtual CPU devices (gloo) == 1 process x 4 devices:
