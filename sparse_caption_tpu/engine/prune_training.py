@@ -109,8 +109,11 @@ class PruneTrainingModule(TrainingModule):
         it = iter(self.train_loader)
         for i in range(accum):
             batch = next(it)
+            # _shard_aux, not a raw asarray: _model_inputs assembles GLOBAL
+            # arrays under a mesh/multi-process run, so the caption masks
+            # must be globalized the same way (shape mismatch otherwise)
             g = mask_grad(self.state.params, self.state.masks, self._model_inputs(batch),
-                          jnp.asarray(batch["masks"]), jax.random.fold_in(rng, i))
+                          self._shard_aux(batch["masks"]), jax.random.fold_in(rng, i))
             saliency = g if saliency is None else jax.tree.map(jnp.add, saliency, g)
         new_masks = prune_engine.update_masks_once(
             self.state.params, self.state.masks, SNIP, self.sparsity_target, self.freeze_scope,
@@ -142,9 +145,19 @@ class PruneTrainingModule(TrainingModule):
                 new_masks = self._device_mask_update(
                     self.state.params, self.state.masks, sparsity_target=st)
             else:
+                # host path under a mesh: params/masks may be sharded (FSDP)
+                # or multi-process global — gather to host for the numpy
+                # argsort, then place the new masks back REPLICATED (masks
+                # are replicated in every mesh mode; see CLAUDE.md)
+                params_h, masks_h = self.state.params, self.state.masks
+                if self.mesh is not None:
+                    params_h = self.dist.fetch_global_tree(params_h)
+                    masks_h = self.dist.fetch_global_tree(masks_h)
                 new_masks = prune_engine.update_masks_once(
-                    self.state.params, self.state.masks, self.prune_type, st, self.freeze_scope
+                    params_h, masks_h, self.prune_type, st, self.freeze_scope
                 )
+                if self.mesh is not None:
+                    new_masks = self.dist.put_replicated(new_masks, self.mesh)
             self.state = self.state.replace(masks=new_masks)
             logger.info("gradual prune @ step %d -> %.4f", self.global_step, st)
 

@@ -192,7 +192,11 @@ class TrainingModule:
             # write host-side artifacts (they share log_dir with process 0).
             self.config_path = os.path.join(config.log_dir, "config.json")
         else:
-            self.config_path = config.save_config(config.log_dir, exist_ok=bool(config.get("config_overwrite", False)))
+            # resume_training also tolerates the existing config.json: the
+            # standard same-dir crash-recovery relaunch must not die on
+            # FileExistsError before restoring anything
+            exist_ok = bool(config.get("config_overwrite", False)) or bool(config.get("resume_training", False))
+            self.config_path = config.save_config(config.log_dir, exist_ok=exist_ok)
         self.train_loader = self.get_loader("train", train=True)
         self.val_loader = self.get_loader("val", train=False)
         self.tb = ScalarLogger(config.log_dir) if self.dist.is_primary() else NullScalarLogger()
@@ -401,6 +405,50 @@ class TrainingModule:
             weight = max(5.0, c / (1.0 - target))
         return target, weight
 
+    def _grad_update(self, state: TrainState, gw, gm) -> TrainState:
+        """One optimizer update: weight chain + mask chain + step bump — the
+        single implementation behind the XE, two-phase/pipelined SCST, and
+        fused SCST steps (called at trace time inside their jits, so a
+        semantic fix here reaches every step variant)."""
+        uw, new_opt_w = self.opt_w.update(gw, state.opt_w, state.params)
+        params = optax.apply_updates(state.params, uw)
+        um, new_opt_m = self.opt_m.update(gm, state.opt_m, state.masks)
+        masks = optax.apply_updates(state.masks, um) if state.masks else state.masks
+        return state.replace(params=params, masks=masks, opt_w=new_opt_w, opt_m=new_opt_m,
+                             step=state.step + 1)
+
+    def _scst_opts(self, differentiable: bool = False):
+        """SCST decode option assembly shared by the two-phase and fused
+        steps: (sample_opt, greedy_opt, num_samples, sample_mode,
+        baseline_mode, max_len)."""
+        config = self.config
+        num_samples = int(config.get("scst_num_samples", 15))
+        sample_mode = config.get("scst_sample", "random")
+        baseline_mode = config.get("scst_baseline", "greedy")
+        assert sample_mode in self.SCST_SAMPLE and baseline_mode in self.SCST_BASELINE
+        max_len = int(config.get("max_seq_length", 18)) - 1
+        if sample_mode == "beam_search":
+            sample_opt = {"beam_size": num_samples, "max_seq_length": max_len, "decode_train": True}
+        else:
+            sample_opt = {"num_random_sample": num_samples, "beam_size": 0, "max_seq_length": max_len,
+                          "temperature": float(config.get("scst_temperature", 1.0)),
+                          "decode_train": True}
+            if differentiable:
+                sample_opt["differentiable"] = True  # grads flow through the sampling decode
+        greedy_opt = {"beam_size": 1, "max_seq_length": max_len}
+        return sample_opt, greedy_opt, num_samples, sample_mode, baseline_mode, max_len
+
+    def _scst_decode_and_score(self, sample_np, greedy_np, gts):
+        """Host reward pass shared by the two-phase scorer and the fused
+        step's io_callback: decode token ids, run the CIDEr-D/BLEU scorer.
+        Returns (sc_sample, sc_baseline) numpy arrays."""
+        sample_decoded = [[self.tokenizer.decode(sample_np[i, j]) for j in range(sample_np.shape[1])]
+                          for i in range(sample_np.shape[0])]
+        baseline_decoded = None
+        if greedy_np is not None:
+            baseline_decoded = [[self.tokenizer.decode(greedy_np[i, 0])] for i in range(greedy_np.shape[0])]
+        return self.scst_scorer(refs=gts, sample=sample_decoded, baseline=baseline_decoded)
+
     def make_xe_step(self):
         if int(self.config.get("pipeline_stages") or 0) >= 1:
             # N=1 also runs the pipelined (deterministic) step, so the
@@ -410,7 +458,6 @@ class TrainingModule:
         sp_args = self._sparsity_loss_args()
         freeze_scope = [s for s in str(self.config.get("prune_mask_freeze_scope", "")).split(",") if s]
         max_step = int(self.config.get("max_train_step", 1))
-        opt_w, opt_m = self.opt_w, self.opt_m
         model = self.model
 
         remat = bool(self.config.get("remat", False))
@@ -481,14 +528,7 @@ class TrainingModule:
             (loss, aux), grads = jax.value_and_grad(loss_fn, argnums=(0, 1), has_aux=True)(
                 state.params, state.masks
             )
-            gw, gm = grads
-            uw, new_opt_w = opt_w.update(gw, state.opt_w, state.params)
-            params = optax.apply_updates(state.params, uw)
-            um, new_opt_m = opt_m.update(gm, state.opt_m, state.masks)
-            masks = optax.apply_updates(state.masks, um) if state.masks else state.masks
-            new_state = state.replace(params=params, masks=masks, opt_w=new_opt_w, opt_m=new_opt_m,
-                                      step=state.step + 1)
-            return new_state, loss, aux
+            return self._grad_update(state, *grads), loss, aux
 
         return xe_step
 
@@ -582,20 +622,7 @@ class TrainingModule:
         """
         config = self.config
         model = self.model
-        opt_w, opt_m = self.opt_w, self.opt_m
-        num_samples = int(config.get("scst_num_samples", 15))
-        sample_mode = config.get("scst_sample", "random")
-        baseline_mode = config.get("scst_baseline", "greedy")
-        assert sample_mode in self.SCST_SAMPLE and baseline_mode in self.SCST_BASELINE
-        max_len = int(config.get("max_seq_length", 18)) - 1
-
-        if sample_mode == "beam_search":
-            sample_opt = {"beam_size": num_samples, "max_seq_length": max_len, "decode_train": True}
-        else:
-            sample_opt = {"num_random_sample": num_samples, "beam_size": 0, "max_seq_length": max_len,
-                          "temperature": float(config.get("scst_temperature", 1.0)),
-                          "decode_train": True}
-        greedy_opt = {"beam_size": 1, "max_seq_length": max_len}
+        sample_opt, greedy_opt, num_samples, sample_mode, baseline_mode, max_len = self._scst_opts()
 
         def _train_sample(variables, enc_kwargs, rng, differentiable: bool = False):
             """Train-mode encode + sampling decode; shared by both phases so
@@ -679,13 +706,7 @@ class TrainingModule:
                 return losses_mod.reward_loss(seq_lp, mask, rewards)
 
             loss, grads = jax.value_and_grad(loss_fn, argnums=(0, 1))(state.params, state.masks)
-            gw, gm = grads
-            uw, new_opt_w = opt_w.update(gw, state.opt_w, state.params)
-            params = optax.apply_updates(state.params, uw)
-            um, new_opt_m = opt_m.update(gm, state.opt_m, state.masks)
-            masks = optax.apply_updates(state.masks, um) if state.masks else state.masks
-            return state.replace(params=params, masks=masks, opt_w=new_opt_w, opt_m=new_opt_m,
-                                 step=state.step + 1), loss
+            return self._grad_update(state, *grads), loss
 
         @jax.jit
         def grad_fn(state: TrainState, inputs, sample_seq, rewards, rng=None, step=None):
@@ -731,16 +752,8 @@ class TrainingModule:
 
         def score_batch(res_np, gts):
             """Host reward pass: decode tokens + CIDEr-D/BLEU scoring."""
-            sample_np = res_np["sample"]
-            sample_decoded = [[self.tokenizer.decode(sample_np[i, j]) for j in range(sample_np.shape[1])]
-                              for i in range(sample_np.shape[0])]
-            if baseline_mode == "greedy":
-                greedy_np = res_np["greedy"]
-                baseline_decoded = [[self.tokenizer.decode(greedy_np[i, 0])] for i in range(greedy_np.shape[0])]
-            else:
-                baseline_decoded = None
-            sc_sample, sc_baseline = self.scst_scorer(refs=gts, sample=sample_decoded,
-                                                      baseline=baseline_decoded)
+            sc_sample, sc_baseline = self._scst_decode_and_score(
+                res_np["sample"], res_np["greedy"] if baseline_mode == "greedy" else None, gts)
             rewards = np.asarray(sc_sample - sc_baseline, dtype=np.float32)
             aux = {"avg_reward": float(np.mean(sc_sample - sc_baseline)),
                    "avg_sample": float(np.mean(sc_sample)),
@@ -896,38 +909,19 @@ class TrainingModule:
         """
         config = self.config
         model = self.model
-        opt_w, opt_m = self.opt_w, self.opt_m
-        num_samples = int(config.get("scst_num_samples", 15))
-        sample_mode = config.get("scst_sample", "random")
-        baseline_mode = config.get("scst_baseline", "greedy")
-        assert sample_mode in self.SCST_SAMPLE and baseline_mode in self.SCST_BASELINE
-        max_len = int(config.get("max_seq_length", 18)) - 1
-        if sample_mode == "beam_search":
-            sample_opt = {"beam_size": num_samples, "max_seq_length": max_len, "decode_train": True}
-        else:
-            sample_opt = {"num_random_sample": num_samples, "beam_size": 0, "max_seq_length": max_len,
-                          "temperature": float(config.get("scst_temperature", 1.0)),
-                          "decode_train": True,
-                          "differentiable": True}  # grads flow through the sampling decode
-        greedy_opt = {"beam_size": 1, "max_seq_length": max_len}
+        sample_opt, greedy_opt, num_samples, sample_mode, baseline_mode, max_len = (
+            self._scst_opts(differentiable=True))
 
         device_reward = (getattr(self, "scst_device", None)
                          if config.get("scst_reward", "host") == "device" else None)
 
         holder: Dict[str, Any] = {"gts": None}  # set per batch before the jit call
-        tokenizer = self.tokenizer
-        scorer = self.scst_scorer
 
         def host_rewards_fn(sample_ids, greedy_ids):
-            sample_np = np.asarray(sample_ids)
-            sample_decoded = [[tokenizer.decode(sample_np[i, j]) for j in range(sample_np.shape[1])]
-                              for i in range(sample_np.shape[0])]
-            if baseline_mode == "greedy":
-                greedy_np = np.asarray(greedy_ids)
-                baseline_decoded = [[tokenizer.decode(greedy_np[i, 0])] for i in range(greedy_np.shape[0])]
-            else:
-                baseline_decoded = None
-            sc_s, sc_b = scorer(refs=holder["gts"], sample=sample_decoded, baseline=baseline_decoded)
+            sc_s, sc_b = self._scst_decode_and_score(
+                np.asarray(sample_ids),
+                np.asarray(greedy_ids) if baseline_mode == "greedy" else None,
+                holder["gts"])
             return np.asarray(sc_s - sc_b, np.float32)
 
         from jax.experimental import io_callback
@@ -1006,13 +1000,7 @@ class TrainingModule:
             (loss, avg_reward), grads = jax.value_and_grad(loss_fn, argnums=(0, 1), has_aux=True)(
                 state.params, state.masks
             )
-            gw, gm = grads
-            uw, new_opt_w = opt_w.update(gw, state.opt_w, state.params)
-            params = optax.apply_updates(state.params, uw)
-            um, new_opt_m = opt_m.update(gm, state.opt_m, state.masks)
-            masks = optax.apply_updates(state.masks, um) if state.masks else state.masks
-            return state.replace(params=params, masks=masks, opt_w=new_opt_w, opt_m=new_opt_m,
-                                 step=state.step + 1), loss, avg_reward
+            return self._grad_update(state, *grads), loss, avg_reward
 
         def scst_fused_step(state: TrainState, batch, rng=None):
             holder["gts"] = batch["gts"]
@@ -1069,14 +1057,20 @@ class TrainingModule:
             # pattern — ops/masked.py casts the 0/1 product, not the score)
             # and "boxes" (bf16 coordinates degenerate the x100-scaled
             # geometry trig; see the train-path note above).
+            # jitted: an EAGER per-leaf astype is one ~3 ms relay dispatch
+            # per leaf (~150+ leaves per cast — the round-2 lesson); one jit
+            # call casts the whole tree in a single dispatch
+            @jax.jit
             def _cast_tree(tree):
                 return jax.tree.map(
                     lambda x: x.astype(jnp.bfloat16)
-                    if hasattr(x, "dtype") and jnp.issubdtype(x.dtype, jnp.floating) else x,
+                    if jnp.issubdtype(x.dtype, jnp.floating) else x,
                     tree)
 
             def cast_inputs(tree):  # noqa: E731
-                return dict(tree, **_cast_tree({k: v for k, v in tree.items() if k != "boxes"}))
+                arrays = {k: v for k, v in tree.items()
+                          if k != "boxes" and hasattr(v, "dtype")}
+                return dict(tree, **_cast_tree(arrays))
 
             variables = dict(variables, params=_cast_tree(variables["params"]))
 
@@ -1203,9 +1197,13 @@ class TrainingModule:
         self.save_checkpoint("init")  # lottery-ticket snapshot
         restored = self.maybe_load_checkpoint()
         self.post_restore_hook()
-        if restored and self.mesh is not None:
-            # restore_lenient/load_pytree return host arrays, which would
-            # drop the TP/ZeRO shardings init_state placed — re-shard
+        if self.mesh is not None:
+            # restore_lenient/load_pytree return host arrays, and
+            # post_restore_hook (lottery rewind, one-shot/SNIP mask updates)
+            # can replace params/masks with host arrays even when nothing
+            # was restored — either would drop the TP/ZeRO/FSDP shardings
+            # init_state placed, so re-shard unconditionally (idempotent on
+            # an already-sharded state)
             from sparse_caption_tpu.parallel import shard_state
 
             self.state = shard_state(self.state, self.mesh,
@@ -1233,6 +1231,7 @@ class TrainingModule:
                         if isinstance(v, (int, float)) or (hasattr(v, "ndim") and v.ndim == 0):
                             self.tb.add_scalar(f"train/{k2}", float(v), self.global_step)
 
+        last_ckpt_step = self.global_step  # no end-save if no steps ran
         for epoch in range(config.max_epochs):
             sc_flag = 0 <= int(config.get("scst_start_epoch", -1)) <= epoch
             if sc_flag and scst_step is None:
@@ -1276,7 +1275,13 @@ class TrainingModule:
                 if self.global_step % save_every == 0 or self.global_step == self.max_train_step:
                     scst_flush()
                     self.checkpoint_and_eval()
+                    last_ckpt_step = self.global_step
             scst_flush()  # epoch boundary: no grad left in flight
+        if self.global_step != last_ckpt_step:
+            # a resumed run's final step is N_restored + max_train_step, so
+            # the `== max_train_step` trigger never fires at its end — save
+            # the tail window instead of silently discarding it
+            self.checkpoint_and_eval()
         from sparse_caption_tpu.engine.checkpoints import wait_for_checkpoints
 
         wait_for_checkpoints()  # join any in-flight async orbax save
@@ -1313,7 +1318,6 @@ class TrainingModule:
 
     # ------------------------------------------------------------ eval entry
     def eval_test(self) -> Dict:
-        self.val_loader = self.get_loader("val", train=False)
         test_loader = self.get_loader("test", train=False)
         self.config.beam_size_test = self.config.get("beam_size_test", 2)
         _, scores, _ = self.eval_on_split(test_loader, split="test")

@@ -419,9 +419,18 @@ def test_resume_training_continues_from_last_checkpoint(fixture_dataset, tmp_pat
     d = jax.tree.map(lambda a, b: float(abs(np.asarray(a) - np.asarray(b)).max()),
                      params_a, mod_b.state.params)
     assert max(jax.tree_util.tree_leaves(d)) < 1e-6
-    mod_b.config.config_overwrite = True  # train() re-runs prepare() on the same dir
+    # resume_training alone must tolerate the existing config.json (prepare
+    # used to die on FileExistsError without --config_overwrite), and a
+    # large save_every exercises the end-of-run save: a resumed run's final
+    # step is N + max_train_step, so the `== max_train_step` trigger never
+    # fires at its end — the tail window must still be checkpointed
+    mod_b.config.save_checkpoint_every = 1000
     mod_b.train()
     assert mod_b.global_step == 2 * steps_a  # one more epoch on top
+    from sparse_caption_tpu.engine.checkpoints import load_pytree
+
+    opt = load_pytree(os.path.join(mod_b.config.log_dir, "optimizer_last.msgpack"))
+    assert int(np.asarray(opt["step"])) == 2 * steps_a
 
 
 def test_profile_dir_writes_trace(fixture_dataset, tmp_path):
