@@ -166,8 +166,20 @@ class BatchLoader:
         self._epoch += 1
 
     def __iter__(self) -> Iterator[Dict]:
+        # epoch accounting is by COMPARISON with the epoch at entry, never
+        # by unconditional increment: _batches() advances the counter when
+        # it exhausts normally, and thread/abandonment timing must not be
+        # able to double-advance it — every process of a multi-process run
+        # has to enumerate the identical shuffle order (see class docstring)
+        start_epoch = self._epoch
         if self.prefetch <= 0:
-            yield from self._batches()
+            try:
+                yield from self._batches()
+            finally:
+                if self._epoch == start_epoch:
+                    # abandoned mid-epoch: advance so the partial epoch is
+                    # not replayed with the identical shuffle order
+                    self._epoch = start_epoch + 1
             return
         q: queue.Queue = queue.Queue(maxsize=self.prefetch)
         sentinel = object()
@@ -212,10 +224,16 @@ class BatchLoader:
             if err:
                 raise err[0]
         finally:
-            # runs on normal completion AND on GeneratorExit/consumer error;
-            # the epoch counter advances either way so a partially-consumed
-            # epoch is not replayed with the identical shuffle order
+            # runs on normal completion AND on GeneratorExit/consumer error
             if t.is_alive():
                 stop.set()
-                self._epoch += 1
                 t.join(timeout=5.0)
+            if self._epoch == start_epoch:
+                # producer never exhausted _batches (abandoned mid-epoch):
+                # advance exactly once so the partial epoch is not replayed
+                # with the identical shuffle order. A producer that DID
+                # exhaust (merely blocked on the sentinel put) already
+                # advanced it — the old is_alive()-gated increment could
+                # double-advance here and silently desynchronize the
+                # processes' global batch order
+                self._epoch = start_epoch + 1

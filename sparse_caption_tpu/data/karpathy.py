@@ -120,14 +120,20 @@ class KarpathyDataset(ABC):
         tokenizer_dir = os.path.join(self.config.log_dir, "tokenizer")
         train_txt = os.path.join(tokenizer_dir, "train_captions.txt")
         self.config.tokenizer_train_files = train_txt
-        if os.path.isdir(tokenizer_dir):
-            return  # existing tokenizer dir wins (resume / start_from)
+        # gate on the FILE, not the dir, and write atomically (tmp + rename):
+        # a crash mid-write used to leave the dir with a truncated txt that
+        # every later run trusted ("existing dir wins") — silently training
+        # the tokenizer on truncated caption data
+        if os.path.isfile(train_txt):
+            return  # existing artifact wins (resume / start_from)
         os.makedirs(tokenizer_dir, exist_ok=True)
-        with open(train_txt, "w") as f:
+        tmp_path = train_txt + ".tmp"
+        with open(tmp_path, "w") as f:
             # one caption per LINE: raw COCO captions (--retokenize mode)
             # can contain embedded newlines, which would split a caption
             # into two bogus training sentences for the tokenizer trainers
             f.write("\n".join(" ".join(d["caption"].split()) for d in self.data["train"]))
+        os.replace(tmp_path, train_txt)
 
     _ANNOT_SPLITS = ("train", "val", "test")
 

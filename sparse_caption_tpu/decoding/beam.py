@@ -50,12 +50,15 @@ NEG_BIG = -1e18
 #            whose f32 logprobs differ by < 1 bf16 ulp can flip — below
 #            sampling noise for beam search. TPU default.
 #   approx - jax.lax.approx_max_k(recall_target=1.0) (TPU PartialReduce)
-_TOPK_MODE = os.environ.get("SPARSE_CAPTION_BEAM_TOPK", "auto")
 
 
 def _row_topk(scores, k: int):
-    """Top-k over the trailing (vocab) axis; see _TOPK_MODE."""
-    mode = _TOPK_MODE
+    """Top-k over the trailing (vocab) axis; see the mode table above.
+
+    The env var is read HERE (trace time, zero runtime cost), not at module
+    import — a test/script that imports the package first and sets
+    SPARSE_CAPTION_BEAM_TOPK afterwards must still get the requested mode."""
+    mode = os.environ.get("SPARSE_CAPTION_BEAM_TOPK", "auto")
     if mode == "auto":
         mode = "bf16" if jax.default_backend() == "tpu" else "exact"
     if mode == "bf16" and scores.dtype == jnp.float32:

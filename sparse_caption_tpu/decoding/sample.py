@@ -43,16 +43,21 @@ def modified_sample_logits(logprobs: jnp.ndarray, sample_method: str, temperatur
         # sorted distribution with cumulative mass >= p (first token always
         # kept), renormalize, write log-probs back (reference :245-256)
         probs = jax.nn.softmax(scaled, axis=-1)
-        sorted_probs = jnp.sort(probs, axis=-1)[:, ::-1]
+        # ONE O(V log V) sort per step (this runs inside the per-token
+        # sampling loop): the descending order gives both the sorted probs
+        # (gather) and each token's rank (scatter of arange) — the naive
+        # jnp.sort + double-argsort formulation is three vocab-wide sorts
+        # for the identical result (stable argsort ⇒ identical tie ranks)
+        b, v = probs.shape
+        order = jnp.argsort(-probs, axis=-1)
+        sorted_probs = jnp.take_along_axis(probs, order, axis=-1)
         csum = jnp.cumsum(sorted_probs, axis=-1)
         keep_sorted = jnp.concatenate(
             [jnp.ones_like(csum[:, :1], dtype=bool), csum[:, :-1] < top_num], axis=-1
         )
-        # map back to vocab order: token v is kept iff its prob > cutoff
-        # (strictly-sorted assumption matches the reference's scatter by
-        # sort indices; ties share the same fate by probability value)
         n_keep = jnp.sum(keep_sorted, axis=-1, keepdims=True)  # (B, 1)
-        ranks = jnp.argsort(jnp.argsort(-probs, axis=-1), axis=-1)  # rank of each token
+        ranks = jnp.zeros_like(order).at[jnp.arange(b)[:, None], order].set(
+            jnp.arange(v, dtype=order.dtype)[None, :])
         keep = ranks < n_keep
         denom = jnp.sum(jnp.where(keep, probs, 0.0), axis=-1, keepdims=True)
         return jnp.where(keep, jnp.log(probs / denom), NEG_INF)

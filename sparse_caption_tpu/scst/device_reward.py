@@ -133,10 +133,9 @@ class DfTable:
     @classmethod
     def from_pickle(cls, path: str, token_to_id: Dict[str, int]) -> "DfTable":
         from sparse_caption_tpu.metrics.cider import CiderScorer
+        from sparse_caption_tpu.scst.scorers import df_pickle_path
 
-        if not path.endswith(".p"):
-            path = path + ".p"
-        scorer = CiderScorer.from_pickle(path)
+        scorer = CiderScorer.from_pickle(df_pickle_path(path))
         return cls.build(scorer.df, scorer.ref_len, token_to_id)
 
     def device_arrays(self):

@@ -103,10 +103,9 @@ class NativeCaptionScorer:
         self._intern = _Interner()
 
         from sparse_caption_tpu.metrics.cider import CiderScorer
+        from sparse_caption_tpu.scst.scorers import df_pickle_path
 
-        base = CiderScorer.from_pickle(
-            path_to_cached_tokens if path_to_cached_tokens.endswith(".p") else path_to_cached_tokens + ".p"
-        )
+        base = CiderScorer.from_pickle(df_pickle_path(path_to_cached_tokens))
         self._handle = lib.reward_scorer_new(6.0, float(base.ref_len))
         self._upload_df(base.df)
 
@@ -183,14 +182,9 @@ class NativeCaptionScorer:
             self.cider_weight, self.bleu_weight, out,
         )
 
-        sc_sample = out[num_baseline:]
-        if baseline:
-            sc_baseline = np.repeat(out[:num_baseline], spi)
-        else:
-            assert spi >= 2, f"sample-mean baseline needs >=2 samples/image, got {spi}"
-            sums = sc_sample.reshape(-1, spi).sum(-1)
-            sc_baseline = (np.repeat(sums, spi) - sc_sample) / (spi - 1)
-        return sc_sample, sc_baseline
+        from sparse_caption_tpu.scst.scorers import split_sample_baseline
+
+        return split_sample_baseline(out, num_baseline, spi, bool(baseline))
 
     def __del__(self):
         try:

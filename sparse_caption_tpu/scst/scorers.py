@@ -25,6 +25,30 @@ from sparse_caption_tpu.metrics.bleu import BleuScorer
 from sparse_caption_tpu.metrics.cider import CiderScorer
 
 
+def df_pickle_path(path: str) -> str:
+    """Canonical df-pickle path: the reference appends ``.p`` when missing
+    (``ciderD_scorer.py:82-87``); one helper so the host/native/device
+    scorers cannot drift."""
+    return path if path.endswith(".p") else path + ".p"
+
+
+def split_sample_baseline(total: np.ndarray, num_baseline: int, spi: int,
+                          use_baseline: bool):
+    """Split one scored pass laid out [baselines..., samples...] into
+    (sc_sample, sc_baseline) — greedy baselines repeat per sample; without
+    a baseline the leave-one-out sample mean is used (reference
+    ``scorers.py:104-105``). Shared by the host and native scorers (the
+    device scorer has a jnp twin pinned equal by the parity tests)."""
+    sc_sample = total[num_baseline:]
+    if use_baseline:
+        sc_baseline = np.repeat(total[:num_baseline], spi)
+    else:
+        assert spi >= 2, f"sample-mean baseline needs >=2 samples/image, got {spi}"
+        sums = sc_sample.reshape(-1, spi).sum(-1)
+        sc_baseline = (np.repeat(sums, spi) - sc_sample) / (spi - 1)
+    return sc_sample, sc_baseline
+
+
 class CaptionScorer:
     def __init__(self, path_to_cached_tokens: str, cider_weight: float = 1.0,
                  bleu_weight: Optional[Sequence[float]] = None):
@@ -36,10 +60,7 @@ class CaptionScorer:
 
     def _cider(self) -> CiderScorer:
         if self._df_cache is None:
-            path = self.path_to_cached_tokens
-            if not path.endswith(".p"):
-                path = path + ".p"
-            scorer = CiderScorer.from_pickle(path)
+            scorer = CiderScorer.from_pickle(df_pickle_path(self.path_to_cached_tokens))
             self._df_cache = (scorer.df, scorer.ref_len)
         df, ref_len = self._df_cache
         return CiderScorer(df=df, ref_len=ref_len)
@@ -86,12 +107,4 @@ class CaptionScorer:
                 if w != 0:
                     total += np.asarray(per_image[k]) * w
 
-        sc_sample = total[num_baseline:]
-        if baseline:
-            sc_baseline = np.repeat(total[:num_baseline], spi)
-        else:
-            # leave-one-out mean over the sample set
-            assert spi >= 2, f"sample-mean baseline needs >=2 samples/image, got {spi}"
-            sums = sc_sample.reshape(-1, spi).sum(-1)
-            sc_baseline = (np.repeat(sums, spi) - sc_sample) / (spi - 1)
-        return sc_sample, sc_baseline
+        return split_sample_baseline(total, num_baseline, spi, bool(baseline))

@@ -141,6 +141,39 @@ def test_caption_json_dump(prepared, tmp_path):
     assert data == [{"image_id": 100002, "caption": "a dog"}]
 
 
+def test_abandoned_iteration_advances_epoch_exactly_once(prepared, fixture_dataset):
+    """Epoch accounting must be timing-independent: a consumer that breaks
+    after the producer thread has already exhausted the epoch (but is still
+    blocked on the sentinel put) must see the counter advance EXACTLY once
+    — a double-advance silently desynchronizes multi-process global batch
+    order (every process must enumerate the identical shuffle)."""
+    import time as _time
+
+    cfg, ds, tok = prepared
+    from sparse_caption_tpu.data.batching import BatchLoader, CaptionBatcher
+    from sparse_caption_tpu.data.features import FeatureSource
+
+    src = FeatureSource(**default_bu_dirs(fixture_dataset), max_regions=8, att_feat_size=16)
+    batcher = CaptionBatcher(cfg, tok, src)
+    recs = ds.get_split("train", generation_mode=True)  # 4 records
+    loader = BatchLoader(recs, batcher, batch_size=2, train=True, seed=3, prefetch=2)
+    assert loader._epoch == 0
+    it = iter(loader)
+    next(it)  # queue(2) holds both batches; producer exhausts + blocks on sentinel
+    _time.sleep(0.3)  # let the producer reach the blocked sentinel put
+    it.close()  # consumer abandons
+    assert loader._epoch == 1, "abandonment near epoch end double-advanced the epoch"
+    # and a fully-consumed epoch advances once too
+    n = sum(1 for _ in loader)
+    assert n == 2 and loader._epoch == 2
+    # inline (prefetch=0) abandonment also advances exactly once
+    loader0 = BatchLoader(recs, batcher, batch_size=2, train=True, seed=3, prefetch=0)
+    it0 = iter(loader0)
+    next(it0)
+    it0.close()
+    assert loader0._epoch == 1
+
+
 def test_annotation_file(prepared):
     cfg, ds, _ = prepared
     import json

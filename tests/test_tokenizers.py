@@ -37,7 +37,30 @@ def test_round_trip(name, tiny_corpus, tmp_path):
     assert tok.decode(np.asarray(ids)) == s
 
 
-def test_word_oov_maps_to_unk(tiny_corpus, tmp_path):
+@pytest.mark.parametrize("name", ALL_TOKENIZERS)
+def test_bad_ending_ids_only_unambiguous_single_tokens(name, tiny_corpus, tmp_path):
+    """The beam's bad-ending EOS suppression compares only the LAST emitted
+    token, so bad_ending_ids must return ONLY ids that (a) encode a whole
+    bad-ending word as one token and (b) never appear as the trailing token
+    of a longer word (character tokenizers fail b: the id of word 'a' ends
+    every '-a' word; radix fails a: every word is a digit sequence)."""
+    from sparse_caption_tpu.decoding.constraints import BAD_ENDINGS, bad_ending_ids
+
+    cfg = Config(log_dir=str(tmp_path / name), tokenizer_train_files=tiny_corpus,
+                 vocab_size=64, radix_base=8)
+    tok = get_tokenizer(name)(cfg)
+    ids = bad_ending_ids(tok)
+    if name in ("character", "radix"):
+        assert ids == []
+        return
+    assert ids, f"{name}: some single-token bad-ending words expected"
+    singles = set()
+    for w in BAD_ENDINGS:
+        t = [x for x in tok.encode(w, add_bos_eos=False, max_seq_length=8)
+             if x != tok.pad_token_id]
+        if len(t) == 1 and t[0] != tok.unk_token_id:
+            singles.add(t[0])
+    assert set(ids) <= singles
     cfg = Config(log_dir=str(tmp_path), tokenizer_train_files=tiny_corpus, vocab_size=64)
     tok = get_tokenizer("word")(cfg)
     ids = tok.encode("a zebra", add_bos_eos=False)
