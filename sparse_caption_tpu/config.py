@@ -125,6 +125,14 @@ def _v0_to_v1(data: dict) -> dict:
     return data
 
 
+def str_to_none(s: str):
+    """argparse type: 'none'/'null'/'' -> None, else the string itself —
+    lets reference-style commands pass an explicit 'no value' (the
+    reference's utils/misc.py str_to_none; a Python None inside argparse
+    ``choices`` is only satisfiable by omitting the flag)."""
+    return None if str(s).lower() in ("none", "null", "") else s
+
+
 def list_of_ints(s: str) -> List[int]:
     """argparse type: '0,0,0,1,1,1' -> [0,0,0,1,1,1] (reference misc.py csv
     types); also accepts the reference command recipes' python-tuple form

@@ -294,7 +294,11 @@ class MultiHeadAttention(nn.Module):
         physically-reordered scores bit-for-bit in bf16/f32.
         """
         shared_cache = cache_v is None  # share_att="kv": one cache array
-        if self.share_att is None and self.mask_cfg is None and not train:
+        # fused path only once the projection params EXIST: init-first usage
+        # (model.init via decode_step) reaches here before q/k/v_proj have
+        # ever been called, and the raw variables read would KeyError
+        if (self.share_att is None and self.mask_cfg is None and not train
+                and not self.is_initializing()):
             q, k_t, v_t = self._fused_qkv_step(x_t)
         else:
             q = _split_heads(self.q_proj(x_t, train), self.num_heads)

@@ -93,17 +93,8 @@ class RelationTransformer(Transformer):
         memory = self.box_encoder_norm(x)
         return {"memory": memory, "mask": att_masks}
 
-    def __call__(self, att_feats, att_masks, seqs, boxes=None, train: bool = False):
-        enc = self.encode(att_feats, att_masks, boxes, train)
-        memory, mem_mask = enc["memory"], enc["mask"]
-        tgt = seqs[:, :-1]
-        if memory.shape[0] != tgt.shape[0]:
-            assert tgt.shape[0] % memory.shape[0] == 0
-            spi = tgt.shape[0] // memory.shape[0]
-            memory = jnp.repeat(memory, spi, axis=0)
-            mem_mask = jnp.repeat(mem_mask, spi, axis=0)
-        out = self._decode_full(tgt, memory, mem_mask, train)
-        return self.generator(out, train)
+    # __call__ is inherited: Transformer.__call__ dispatches through
+    # self.encode, which is the box-attention override above
 
     @staticmethod
     def add_argparse_args(parser) -> None:

@@ -142,6 +142,20 @@ def subsequent_mask(t: int):
     return jnp.tril(jnp.ones((t, t), dtype=jnp.bool_))[None, None]
 
 
+def repeat_to_batch(memory, mem_mask, n_tgt: int):
+    """Repeat-interleave an encoded memory (+mask) to the target batch:
+    seq_per_img caption rows per image share one encoder pass (reference
+    utils/model_utils.py repeat_tensors). One shared helper — the XE
+    forward, teacher-forced replay, and both pipeline loss paths all need
+    the identical repeat semantics."""
+    if memory.shape[0] != n_tgt:
+        assert n_tgt % memory.shape[0] == 0, (n_tgt, memory.shape)
+        spi = n_tgt // memory.shape[0]
+        memory = jnp.repeat(memory, spi, axis=0)
+        mem_mask = jnp.repeat(mem_mask, spi, axis=0)
+    return memory, mem_mask
+
+
 @register_model("transformer")
 @register_model("transformer_prune")
 class Transformer(nn.Module):
@@ -229,13 +243,8 @@ class Transformer(nn.Module):
         """XE forward: logprobs (N, T-1, V) over targets seqs[:, 1:]
         (decoder input is seqs[:, :-1], reference transformer.py:677-680)."""
         enc = self.encode(att_feats, att_masks, boxes, train)
-        memory, mem_mask = enc["memory"], enc["mask"]
         tgt = seqs[:, :-1]
-        if memory.shape[0] != tgt.shape[0]:
-            assert tgt.shape[0] % memory.shape[0] == 0
-            spi = tgt.shape[0] // memory.shape[0]
-            memory = jnp.repeat(memory, spi, axis=0)
-            mem_mask = jnp.repeat(mem_mask, spi, axis=0)
+        memory, mem_mask = repeat_to_batch(enc["memory"], enc["mask"], tgt.shape[0])
         out = self._decode_full(tgt, memory, mem_mask, train)
         return self.generator(out, train)
 
@@ -260,13 +269,9 @@ class Transformer(nn.Module):
         decode, the returned logprobs equal that decode's per-step logprobs
         at every pre-EOS position (post-EOS positions differ only through
         loss-masked pad handling)."""
-        memory, mem_mask = memory_pytree["memory"], memory_pytree["mask"]
         tgt = seqs[:, :-1]
-        if memory.shape[0] != tgt.shape[0]:
-            assert tgt.shape[0] % memory.shape[0] == 0
-            spi = tgt.shape[0] // memory.shape[0]
-            memory = jnp.repeat(memory, spi, axis=0)
-            mem_mask = jnp.repeat(mem_mask, spi, axis=0)
+        memory, mem_mask = repeat_to_batch(memory_pytree["memory"], memory_pytree["mask"],
+                                           tgt.shape[0])
         out = self._decode_full(tgt, memory, mem_mask, train, replay_time=train)
         return self.generator(out, train)
 
@@ -363,8 +368,12 @@ class Transformer(nn.Module):
         parser.add_argument("--num_heads", type=int, default=8)
         parser.add_argument("--drop_prob_src", type=float, default=0.5)
         parser.add_argument("--att_feat_size", type=int, default=2048)
-        parser.add_argument("--share_att_encoder", type=str, default=None, choices=[None, "kv", "qk"])
-        parser.add_argument("--share_att_decoder", type=str, default=None, choices=[None, "kv", "qk"])
+        from sparse_caption_tpu.config import str_to_none
+
+        parser.add_argument("--share_att_encoder", type=str_to_none, default=None,
+                            choices=[None, "kv", "qk"])
+        parser.add_argument("--share_att_decoder", type=str_to_none, default=None,
+                            choices=[None, "kv", "qk"])
         parser.add_argument("--share_layer_encoder", type=str, default=None,
                             help="comma ints, e.g. '0,0,0,1,1,1'")
         parser.add_argument("--share_layer_decoder", type=str, default=None)

@@ -82,11 +82,6 @@ class _Prunable(nn.Module):
         return (kernel * sample_mask(mask, cfg, train, rng)).astype(kernel.dtype)
 
 
-def masked_weight(kernel, mask, cfg: MaskConfig, train: bool, rng_key=None):
-    """Functional form for non-module call sites."""
-    return kernel * sample_mask(mask, cfg, train, rng_key)
-
-
 class MaskedDense(_Prunable):
     """Dense layer with optional pruning mask on the kernel.
 

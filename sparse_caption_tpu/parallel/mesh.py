@@ -237,8 +237,13 @@ def shard_state(state: Any, mesh: Mesh, zero_opt: bool = False,
     shard_opt_m = (zero_opt or fsdp) and hasattr(new, "opt_m") \
         and jax.tree.leaves(getattr(new, "masks", {}))
     if shard_opt_m:
-        # mask-logit moments ZeRO-shard over data even under fsdp: the masks
-        # themselves stay replicated, so their moments get the zero spec
+        # mask-logit moments shard over BOTH axes where divisible (TP spec
+        # from the kernel-shaped mask name + ZeRO over data): the masks
+        # themselves stay replicated (shared-draw semantics), and GSPMD
+        # all-gathers the small mask-update once per step — moments are the
+        # memory that matters at 95%-sparsity training (kernel-sized logits)
+        # so the wider sharding is deliberate (pinned by
+        # test_zero_mask_opt_state_sharding)
         om_shard = opt_state_sharding(new.opt_m, state.masks, mesh, zero=True)
         new = new.replace(opt_m=jax.tree.map(global_put, new.opt_m, om_shard))
     for field in ("masks", "step") + (() if shard_opt_m else ("opt_m",)):

@@ -108,7 +108,26 @@ def pipelined_decoder_stack(model, params: Dict[str, Any], x, memory, src_mask,
         return a.reshape((n_micro, mb) + a.shape[1:])
 
     xs, mems, smasks, tmasks = (split(a) for a in (x, memory, src_mask, tgt_mask))
+    f = _cached_stage_jit(model, mesh, jax.tree.structure(stacked))
+    y = f(stacked, xs, mems, smasks, tmasks)
+    return y.reshape((b,) + y.shape[2:])
+
+
+# one jitted shard_map per (layer config, mesh, param treedef): building a
+# fresh closure + jax.jit per CALL retraced and recompiled the whole
+# pipeline on every direct invocation (minutes per compile through the
+# relay) — only the engine's outer @jax.jit hid it on the train path
+_PIPE_JIT_CACHE: Dict[Any, Any] = {}
+
+
+def _cached_stage_jit(model, mesh: Mesh, treedef):
+    cfg = (model.d_model, model.num_heads, model.dim_feedforward,
+           model.dropout_rate, model.share_att_decoder)
+    key = (cfg, mesh, treedef)
+    if key in _PIPE_JIT_CACHE:
+        return _PIPE_JIT_CACHE[key]
     layer_mod = _layer_module(model)
+    n_stages = mesh.shape[PIPE_AXIS]
 
     def stage_fn(lp, xs, mems, smasks, tmasks):
         idx = lax.axis_index(PIPE_AXIS)
@@ -148,11 +167,11 @@ def pipelined_decoder_stack(model, params: Dict[str, Any], x, memory, src_mask,
         return lax.psum(jnp.where(idx == n_stages - 1, out, jnp.zeros_like(out)),
                         PIPE_AXIS)
 
-    specs_p = jax.tree.map(lambda _: P(PIPE_AXIS), stacked)
-    f = _shard_map(stage_fn, mesh=mesh,
-                   in_specs=(specs_p, P(), P(), P(), P()), out_specs=P())
-    y = jax.jit(f)(stacked, xs, mems, smasks, tmasks)
-    return y.reshape((b,) + y.shape[2:])
+    specs_p = jax.tree.unflatten(treedef, [P(PIPE_AXIS)] * treedef.num_leaves)
+    f = jax.jit(_shard_map(stage_fn, mesh=mesh,
+                           in_specs=(specs_p, P(), P(), P(), P()), out_specs=P()))
+    _PIPE_JIT_CACHE[key] = f
+    return f
 
 
 def pipelined_decode_full(model, variables: Dict[str, Any], tgt, memory_pytree,
@@ -191,16 +210,12 @@ def pipeline_xe_loss_and_grads(model, variables: Dict[str, Any], seqs,
     import jax.numpy as _jnp
 
     from sparse_caption_tpu.engine import losses as losses_mod
-    from sparse_caption_tpu.models.transformer import subsequent_mask
+    from sparse_caption_tpu.models.transformer import repeat_to_batch, subsequent_mask
 
     params = variables["params"]
-    memory, mem_mask = memory_pytree["memory"], memory_pytree["mask"]
     tgt = seqs[:, :-1]
-    if memory.shape[0] != tgt.shape[0]:
-        assert tgt.shape[0] % memory.shape[0] == 0
-        spi = tgt.shape[0] // memory.shape[0]
-        memory = _jnp.repeat(memory, spi, axis=0)
-        mem_mask = _jnp.repeat(mem_mask, spi, axis=0)
+    memory, mem_mask = repeat_to_batch(memory_pytree["memory"], memory_pytree["mask"],
+                                       tgt.shape[0])
     t = tgt.shape[1]
     tgt_mask = (tgt != model.pad_id)[:, None, None, :] & subsequent_mask(t)
     src_mask = mem_mask[:, None, None, :]
@@ -247,13 +262,11 @@ def pipeline_xe_train_loss_and_grads(model, params: Dict[str, Any], inputs: Dict
     def loss_fn(p, stacked_layers):
         variables = {"params": p}
         memory_pytree = model.apply(variables, **enc_inputs, train=False, method="encode")
-        memory, mem_mask = memory_pytree["memory"], memory_pytree["mask"]
+        from sparse_caption_tpu.models.transformer import repeat_to_batch
+
         tgt = seqs[:, :-1]
-        if memory.shape[0] != tgt.shape[0]:
-            assert tgt.shape[0] % memory.shape[0] == 0
-            spi = tgt.shape[0] // memory.shape[0]
-            memory = jnp.repeat(memory, spi, axis=0)
-            mem_mask = jnp.repeat(mem_mask, spi, axis=0)
+        memory, mem_mask = repeat_to_batch(memory_pytree["memory"], memory_pytree["mask"],
+                                           tgt.shape[0])
         t = tgt.shape[1]
         tgt_mask = (tgt != model.pad_id)[:, None, None, :] & subsequent_mask(t)
         src_mask = mem_mask[:, None, None, :]

@@ -262,12 +262,18 @@ class TestGeneration:
         scores = jnp.asarray(rng.standard_normal((64, 1000)) * 4, jnp.float32)
         k = 5
         v_exact, i_exact = jax.lax.top_k(scores, k)
-        old = beam_mod._TOPK_MODE
+        # the mode env var is read at trace time (post-import settings work)
+        import os as _os
+
+        old = _os.environ.get("SPARSE_CAPTION_BEAM_TOPK")
+        _os.environ["SPARSE_CAPTION_BEAM_TOPK"] = "bf16"
         try:
-            beam_mod._TOPK_MODE = "bf16"
             v_b, i_b = beam_mod._row_topk(scores, k)
         finally:
-            beam_mod._TOPK_MODE = old
+            if old is None:
+                _os.environ.pop("SPARSE_CAPTION_BEAM_TOPK", None)
+            else:
+                _os.environ["SPARSE_CAPTION_BEAM_TOPK"] = old
         # values are true f32 gathers, not bf16-rounded
         np.testing.assert_array_equal(
             np.asarray(v_b), np.take_along_axis(np.asarray(scores), np.asarray(i_b), axis=1))
