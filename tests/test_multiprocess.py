@@ -118,6 +118,68 @@ def test_dist_flags_never_persist_to_config_json(tmp_path):
 
 
 @pytest.mark.slow
+def test_two_process_tensor_parallel_matches_single_process(fixture_dataset, tmp_path):
+    """2 processes x 2 devices with an explicit dp x tp mesh (2,2): the
+    data-parallel gradient all-reduce crosses the process boundary (gloo)
+    while attention/FFN kernels are tensor-parallel-sharded — the combined
+    placement path (global_put via make_array_from_process_local_data on
+    TP-sharded params) that the dp-only e2e never exercises. Pinned equal
+    to the single-process (2,2) run."""
+    port = _free_port()
+    mp_dir = tmp_path / "mp_tp"
+    sp_dir = tmp_path / "sp_tp"
+
+    def env_with(n_local):
+        env = os.environ.copy()
+        env["XLA_FLAGS"] = f"--xla_force_host_platform_device_count={n_local}"
+        env.pop("JAX_PLATFORMS", None)
+        return env
+
+    procs = []
+    for pid in (0, 1):
+        argv = TINY + [
+            "--dataset_dir", fixture_dataset, "--log_dir", str(mp_dir),
+            "--mesh_shape", "2,2",
+            "--dist_coordinator", f"127.0.0.1:{port}",
+            "--dist_num_processes", "2", "--dist_process_id", str(pid),
+            "--dist_platform", "cpu",
+        ]
+        procs.append(subprocess.Popen(
+            [sys.executable, TRAIN] + argv, env=env_with(2),
+            stdout=subprocess.PIPE, stderr=subprocess.STDOUT, text=True))
+    outs = [p.communicate(timeout=1800)[0] for p in procs]
+    for pid, (p, out) in enumerate(zip(procs, outs)):
+        assert p.returncode == 0, f"process {pid} failed:\n{out[-4000:]}"
+
+    r = subprocess.run(
+        [sys.executable, TRAIN] + TINY + [
+            "--dataset_dir", fixture_dataset, "--log_dir", str(sp_dir),
+            "--mesh_shape", "2,2"],
+        env=env_with(4), capture_output=True, text=True, timeout=1800)
+    assert r.returncode == 0, r.stderr[-4000:]
+
+    import jax
+
+    from sparse_caption_tpu.engine.checkpoints import load_pytree
+
+    for name in ("model_last.msgpack", "optimizer_last.msgpack"):
+        mp_tree = load_pytree(str(mp_dir / name))
+        sp_tree = load_pytree(str(sp_dir / name))
+        mp_leaves = jax.tree.leaves(mp_tree)
+        sp_leaves = jax.tree.leaves(sp_tree)
+        assert len(mp_leaves) == len(sp_leaves) > 0
+        worst = 0.0
+        for a, b in zip(mp_leaves, sp_leaves):
+            a, b = np.asarray(a), np.asarray(b)
+            assert a.shape == b.shape
+            if a.dtype.kind == "f":
+                worst = max(worst, float(np.max(np.abs(a - b))) if a.size else 0.0)
+            else:
+                np.testing.assert_array_equal(a, b)
+        assert worst < 1e-5, f"{name}: max |mp(2,2) - sp(2,2)| = {worst}"
+
+
+@pytest.mark.slow
 def test_two_process_train_matches_single_process(fixture_dataset, tmp_path):
     """2 processes x 2 virtual CPU devices (gloo) == 1 process x 4 devices:
     same seeds, same global batches, same mesh size -> same final params."""
