@@ -242,16 +242,28 @@ class TrainingModule:
         """
         from sparse_caption_tpu.metrics.cider import CiderScorer
         from sparse_caption_tpu.scst import device_reward as devr
+        from sparse_caption_tpu.tokenizers.radix import RadixTokenizer
         from sparse_caption_tpu.tokenizers.word import WordTokenizer
 
         config = self.config
-        assert type(self.tokenizer) is WordTokenizer, (
-            "--scst_reward device requires word-level tokenization (sampled ids "
-            "are words); radix/char/bpe captions score on decoded word strings "
-            "-> use --scst_reward host")
+        is_radix = isinstance(self.tokenizer, RadixTokenizer)
+        assert type(self.tokenizer) is WordTokenizer or is_radix, (
+            "--scst_reward device requires word or radix tokenization (sampled "
+            "ids are words / regroupable digits); char/bpe captions score on "
+            "decoded word strings -> use --scst_reward host")
         bleu_w = [float(x) for x in config.get("scst_bleu_weight", [0.0] * 4)]
         scorer = CiderScorer.from_pickle(df_path)
+        # the scoring vocabulary is always the WORD vocab: radix digit ids
+        # are regrouped to word ids in-jit before gram extraction
         tok2id = dict(self.tokenizer._token_to_id)
+        regroup = None
+        eos, pad, bos = (self.tokenizer.eos_token_id, self.tokenizer.pad_token_id,
+                         self.tokenizer.bos_token_id)
+        if is_radix:
+            regroup = devr.make_radix_to_word_fn(
+                self.tokenizer.radix_base, self.tokenizer.tokens_per_word,
+                len(self.tokenizer.vocab))
+            eos, pad, bos = 3, 0, 2  # regrouped ids use WORD conventions
         table = devr.DfTable.build(scorer.df, scorer.ref_len, tok2id)
         tbl_dev = table.device_arrays()
         if self.mesh is not None:
@@ -263,13 +275,13 @@ class TrainingModule:
         self.scst_device = {
             "table": table, "df": scorer.df, "tok2id": tok2id,
             "tbl_dev": tbl_dev,
+            # private OOV ref ids must clear every regrouped WORD id
+            "vocab_size": len(self.tokenizer.vocab),
             # the weighted CIDEr-D + BLEU mix is baked into the jitted fn
             "fn": devr.make_reward_device_fn(
-                table, eos_id=self.tokenizer.eos_token_id,
-                pad_id=self.tokenizer.pad_token_id,
-                bos_id=self.tokenizer.bos_token_id,
+                table, eos_id=eos, pad_id=pad, bos_id=bos,
                 cider_weight=float(config.get("scst_cider_weight", 1.0)),
-                bleu_weight=bleu_w),
+                bleu_weight=bleu_w, regroup=regroup),
         }
         logger.info("device CIDEr-D reward: df table %d slots (probe depth %d)",
                     table.size, table.probe)
@@ -285,7 +297,7 @@ class TrainingModule:
         gram_ub = max(4 * len(s.split()) for refs in gts for s in refs)
         l_max = ((max(gram_ub, 1) + 31) // 32) * 32
         pack = devr.build_ref_pack(gts, d["df"], d["table"].ref_len, d["tok2id"],
-                                   vocab_size=len(self.tokenizer),
+                                   vocab_size=d["vocab_size"],
                                    max_refs=r, max_grams=l_max)
         if self.mesh is not None:
             # gts are GLOBAL metadata on every process (BatchLoader carries

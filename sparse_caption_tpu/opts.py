@@ -72,7 +72,8 @@ def add_training_args(parser) -> None:
     parser.add_argument("--scst_reward", type=str, default="host", choices=["host", "device"],
                         help="'device': compute the CIDEr-D(+BLEU) reward INSIDE the jitted step "
                              "(scst/device_reward.py) — no device->host transfer per SCST step; "
-                             "requires word tokenization. 'host' (default): reference-style "
+                             "requires word or radix tokenization (radix digit ids are "
+                             "regrouped to word ids in-jit). 'host' (default): reference-style "
                              "host scoring (any tokenizer)")
     parser.add_argument("--scst_fused", action="store_true",
                         help="single-jit SCST step: sampling under grad + io_callback rewards "

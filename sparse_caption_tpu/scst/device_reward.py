@@ -39,8 +39,11 @@ clipped matches against per-gram max reference counts (reused from the
 same match matrix), "closest" effective reference length, tiny/small
 smoothing and the per-image brevity penalty of ``metrics/bleu.py``.
 
-Scope: word-level tokenization (sampled ids ARE words; radix/character
-captions score on decoded word strings, which stays on host).
+Scope: word-level and radix tokenization.  For radix (ACORT), sampled
+digit ids are regrouped into the word ids their host decode would
+produce — entirely in-jit (``make_radix_to_word_fn``) — and then scored
+by the same word-level machinery; character/bpe captions still score on
+decoded word strings, which stays on host.
 """
 
 from __future__ import annotations
@@ -228,10 +231,58 @@ def ref_pack_device(pack):
     return {k: jnp.asarray(v) for k, v in pack.items()}
 
 
+# ---------------------------------------------------------- radix regroup
+def make_radix_to_word_fn(radix_base: int, tokens_per_word: int,
+                          word_vocab_size: int):
+    """In-jit mirror of the radix tokenizer's decode-to-word-ids
+    (``tokenizers/radix.py:109-138``, reference ``tokenizer.py:550-725``):
+    truncate at the first radix ``<eos>``, drop pad/bos digits anywhere,
+    group the surviving digits into words of ``tokens_per_word``
+    (padding a short tail with digit 1 — the reference grouper's
+    fillvalue), and invert the base-N code.  The last word slot and any
+    out-of-range value map to the word-level ``<unk>`` id (1), exactly
+    the strings host decode emits.
+
+    Returns ``regroup((T,) int32 radix ids) -> (ceil(T/tpw),) int32``
+    word ids with WORD conventions (pad=0 filler, unk=1; no bos/eos),
+    ready for the word-level gram scorer.
+    """
+    import jax.numpy as jnp
+
+    base, tpw = int(radix_base), int(tokens_per_word)
+    pad_r, bos_r, eos_r = 0, base + 1, base + 2
+    n_words = int(word_vocab_size) - 3  # <unk> shares the last word slot
+    assert base ** tpw < 2 ** 31, "radix word values overflow int32"
+    powers = np.asarray([base ** (tpw - 1 - j) for j in range(tpw)], np.int32)
+
+    def regroup(ids):
+        t = ids.shape[0]
+        ids = ids.astype(jnp.int32)
+        is_eos = ids == eos_r
+        keep = (((jnp.cumsum(is_eos) - is_eos) == 0)
+                & (ids != pad_r) & (ids != bos_r) & (ids != eos_r))
+        pos = jnp.cumsum(keep) - 1
+        n_digits = keep.sum()
+        t_w = -(-t // tpw)  # static
+        # digit buffer init'd to fillvalue 1 so the short tail pads itself
+        d = jnp.ones((t_w * tpw,), jnp.int32)
+        d = d.at[jnp.where(keep, pos, t_w * tpw)].set(ids, mode="drop")
+        v = jnp.sum(jnp.maximum(d - 1, 0).reshape(t_w, tpw)
+                    * jnp.asarray(powers)[None, :], axis=1)
+        # slot n_words-1 is reserved for <unk>; >= len(vocab) decodes to
+        # <unk> too (radix.py:130-137) -> word-level unk id 1
+        wid = jnp.where(v < n_words - 1, v + 4, 1)
+        valid = jnp.arange(t_w) < -(-n_digits // tpw)
+        return jnp.where(valid, wid, 0)  # word-level <pad> elsewhere
+
+    return regroup
+
+
 # ------------------------------------------------------------ device scorer
 def make_reward_device_fn(table: DfTable, eos_id: int = 3, pad_id: int = 0,
                           bos_id: int = 2, cider_weight: float = 1.0,
-                          bleu_weight: Sequence[float] = (0.0, 0.0, 0.0, 0.0)):
+                          bleu_weight: Sequence[float] = (0.0, 0.0, 0.0, 0.0),
+                          regroup=None):
     """Build the jittable scorer.
 
     Returns ``score(ids (N, T) int32, img_idx (N,) int32, tbl, pack)
@@ -239,6 +290,10 @@ def make_reward_device_fn(table: DfTable, eos_id: int = 3, pad_id: int = 0,
     BLEU-1..4 x bleu_weight), where ``tbl`` is ``table.device_arrays()``
     and ``pack`` is ``ref_pack_device(...)``.  Trace-compatible across
     batches with the same (T, R, L) shapes.
+
+    ``regroup`` (optional): per-sequence id transform applied before gram
+    extraction — ``make_radix_to_word_fn`` for ACORT's digit ids; its
+    output must use the word-level eos/pad/bos ids passed here.
     """
     import jax
     import jax.numpy as jnp
@@ -286,6 +341,8 @@ def make_reward_device_fn(table: DfTable, eos_id: int = 3, pad_id: int = 0,
 
     def _score_one(ids, tbl, rhi, rlo, rval, rcnt, rnorms, rlens, rwlens,
                    rvalid, n_refs):
+        if regroup is not None:
+            ids = regroup(ids)
         ghi, glo, gn, gvalid, length = _grams(ids)
         eq = (ghi[:, None] == ghi[None, :]) & (glo[:, None] == glo[None, :])
         eqv = eq & gvalid[None, :] & gvalid[:, None]
