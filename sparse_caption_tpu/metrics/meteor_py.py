@@ -22,15 +22,16 @@ in Python:
   mean of segment scores.
 
 Data-dependent stages degrade gracefully: the synonym (WordNet synsets)
-and paraphrase tables and the function-word list ship inside the jar and
-are equally unavailable here, so by default only the exact and stem
-stages fire and every word counts as a content word. Supplying the
-extracted jar data via :class:`MeteorData` (or the
+and paraphrase tables ship inside the jar and are unavailable here, so by
+default only the exact and stem stages fire; the content/function
+delta-weighting IS on by default via the built-in English function-word
+list (:mod:`sparse_caption_tpu.metrics.meteor_data_en`, a curated
+closed-class approximation of the jar's ``function/en.words``).
+Supplying the extracted jar data via :class:`MeteorData` (or the
 ``SPARSE_CAPTION_METEOR_DATA`` directory) enables the full four-stage
 scorer without any Java dependency. Scores from the default
-exact+stem configuration are therefore a documented LOWER BOUND on
-official METEOR — they are reported as ``METEOR_py``, never as
-``METEOR``.
+configuration are therefore a documented LOWER BOUND on official
+METEOR — they are reported as ``METEOR_py``, never as ``METEOR``.
 """
 
 from __future__ import annotations
@@ -278,7 +279,12 @@ class MeteorPy:
     def __init__(self, data: Optional[MeteorData] = None):
         if data is None:
             data_dir = os.environ.get("SPARSE_CAPTION_METEOR_DATA", "")
-            data = MeteorData.load(data_dir) if data_dir and os.path.isdir(data_dir) else MeteorData()
+            if data_dir and os.path.isdir(data_dir):
+                data = MeteorData.load(data_dir)
+            else:
+                from sparse_caption_tpu.metrics.meteor_data_en import default_data
+
+                data = default_data()  # built-in English function words
         self.data = data
 
     def score_segment(self, hypothesis: str, references: Sequence[str]) -> _Stats:

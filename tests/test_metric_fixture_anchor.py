@@ -10,7 +10,8 @@ reachable: exactly one of those 5,000 real predictions (image 391895,
 (prediction, 5 references) pair, giving the documented point-sample delta
 estimate next to the corpus anchors:
 
-    METEOR_py (exact+stem) = 0.2780   vs corpus METEOR anchor 0.288
+    METEOR_py (exact+stem+function-word delta-weighting) = 0.3182
+                                      vs corpus METEOR anchor 0.288
     SPICE_py               = 0.1481   vs corpus SPICE  anchor 0.220
 
 Single-image values are NOT corpus values (the exact BLEU on this image is
@@ -52,11 +53,19 @@ def test_meteor_py_fixture_anchor(anchor_pair):
 
     gts, res = anchor_pair
     score, _ = MeteorPy().compute_score(gts, res)
-    assert abs(score - 0.278038) < 1e-5
-    # plausibility vs the corpus anchor: the exact+stem lower bound on a
-    # single good prediction lands in the same regime as official corpus
-    # METEOR 0.288 (it is NOT expected to equal it)
+    # default = exact+stem stages + built-in function-word delta-weighting
+    # (metrics/meteor_data_en.py); 0.2780 before the weighting shipped
+    assert abs(score - 0.318217) < 1e-5
+    # plausibility vs the corpus anchor: the lower bound on a single good
+    # prediction lands in the same regime as official corpus METEOR 0.288
+    # (it is NOT expected to equal it)
     assert 0.15 < score < 0.45
+
+    from sparse_caption_tpu.metrics.meteor_py import MeteorData
+
+    # the weighting is live by default and the bare exact+stem pin holds
+    bare, _ = MeteorPy(MeteorData()).compute_score(gts, res)
+    assert abs(bare - 0.278038) < 1e-5
 
 
 def test_spice_py_fixture_anchor(anchor_pair):
