@@ -42,8 +42,24 @@ Grammar (documented so the approximation is auditable):
 * ``NP verb prep NP`` yields ``(subj, verb)`` as an attribute plus
   ``(subj, prep, obj)`` — the paper's treatment of "standing on top of";
 * copulas are transparent ("is on" → prep relation, "is red" →
-  attribute); verbs with no object become attributes; adverbs are
-  skipped; NPs coordinated with "and" share the surrounding relations.
+  attribute), and copular PPs/adjectives bind the CLAUSE subject
+  ("a man in a red shirt is on a motorcycle" → (man, on, motorcycle));
+* finite verbs take the clause subject (nsubj), participles modify the
+  nearest NP (acl) — except progressives after a copula ("is riding");
+* directional/path PPs inside a verb phrase attach to the verb's
+  subject ("riding a motorcycle down a road" → (man, down, road)),
+  other post-object PPs to the nearest NP;
+* verbs with no object become attributes; adverbs are skipped;
+* NPs coordinated with "and" become co-subjects of what follows AND
+  co-objects of the relation that produced the previous NP (Stanford
+  enhanced-dependency conj propagation); a trailing PP binds the
+  nearest conjunct only.
+
+Synonym matching defaults to the built-in caption-domain table
+(:mod:`sparse_caption_tpu.metrics.spice_synonyms_en`, WordNet-synset-
+guided), the jar-free analog of official SPICE's WordNet step; the
+``SPARSE_CAPTION_SPICE_SYNONYMS`` file replaces it when set.  Tuple
+matching is an exact maximum bipartite matching.
 
 All tuple elements are normalized with the self-contained Snowball
 stemmer (``metrics/snowball_en.py``), so surface inflections ("riding" /
@@ -281,6 +297,19 @@ def _norm(word: str) -> str:
     return " ".join(stem(IRREGULAR_NOUNS.get(w, w)) for w in word.split())
 
 
+# path/direction prepositions: a PP headed by one of these inside a verb
+# phrase modifies the MOTION, so its relation subject is the verb's
+# subject ("riding a motorcycle down a road" -> (man, down, road)); other
+# in-VP-after-object PPs attach to the nearest NP ("holding a cup with a
+# handle" -> (cup, with, handle)).  Mirrors SceneGraphParser's treatment
+# of verb-attached nmod edges (SPICE Fig. 1: nmod(standing, court)
+# becomes (girl, on top of, court), i.e. subject = verb's subject).
+DIRECTIONAL_PREPS = {
+    "down", "up", "through", "across", "along", "past", "toward", "towards",
+    "around", "over", "into", "onto", "off",
+}
+
+
 def parse_scene_graph(tokens: Sequence[str]) -> Set[Tuple[str, ...]]:
     """Caption tokens -> set of SPICE tuples (objects/attributes/relations),
     elements stem-normalized."""
@@ -298,102 +327,138 @@ def parse_scene_graph(tokens: Sequence[str]) -> Set[Tuple[str, ...]]:
     # pending relation between the previous NP and the next one
     pending: List[Tuple[List[str], str]] = []  # (subject heads, relation word)
     last_np: _NP | None = None
-    pending_verb: str | None = None  # verb seen after last NP, object TBD
+    pending_verb: Tuple[List[str], str] | None = None  # (subject heads, lemma)
+    clause_subj: List[str] | None = None  # first NP of the clause (nsubj)
+    verb_subj: List[str] | None = None  # subject of the clause's verb
+    after_cop = False  # a copula was just seen (next PP/ADJ binds nsubj)
+    # relations that produced last_np as their OBJECT; a coordinated NP
+    # joins them too ((area, with, bridge) and (... and a background) ->
+    # (area, with, background)) — Stanford enhanced-dependency conj
+    # propagation, which SceneGraphParser consumes
+    last_incoming: List[Tuple[str, str]] = []
 
     def flush_verb_as_attr():
         nonlocal pending_verb
-        if pending_verb and last_np is not None:
-            for h in last_np.heads:
-                tuples.add((h, _norm(pending_verb)))
+        if pending_verb is not None:
+            subj, lemma = pending_verb
+            for h in subj:
+                tuples.add((h, _norm(lemma)))
         pending_verb = None
+
+    def chunk_np(j):
+        """Chunk [DET]? (NUM|ADJ|NOUN)* starting at j; returns (head, stop)
+        with the head/attr tuples emitted, or (None, j') on a bare DET."""
+        if tags[j] == "DET":
+            j += 1
+        mods: List[Tuple[str, str]] = []
+        while j < n and tags[j] in ("NUM", "ADJ", "NOUN"):
+            mods.append((tags[j], toks[j]))
+            j += 1
+        if not mods:
+            return None, j
+        head_idx = max((k for k, (t, _) in enumerate(mods) if t == "NOUN"),
+                       default=len(mods) - 1)
+        head = _norm(mods[head_idx][1])
+        tuples.add((head,))
+        for k, (_, w) in enumerate(mods):
+            if k != head_idx:
+                tuples.add((head, _norm(w)))
+        return head, j
 
     while i < n:
         tag, tok = tags[i], toks[i]
         if tag in ("DET", "NUM", "ADJ", "NOUN"):
-            # chunk an NP: [DET]? (NUM|ADJ|NOUN)* NOUN
-            np_ = _NP()
-            mods: List[Tuple[str, str]] = []
-            if tag == "DET":
-                i += 1
-            while i < n and tags[i] in ("NUM", "ADJ", "NOUN"):
-                mods.append((tags[i], toks[i]))
-                i += 1
-            if not mods:
+            head, i = chunk_np(i)
+            if head is None:
                 # bare determiner ("the" at end / before a non-NP token):
                 # i already advanced past it — reprocess the next token
-                # under its own branch
                 continue
-            # head = last noun in the chunk, else last token
-            head_idx = max((k for k, (t, _) in enumerate(mods) if t == "NOUN"),
-                           default=len(mods) - 1)
-            head = _norm(mods[head_idx][1])
+            np_ = _NP()
             np_.heads = [head]
-            tuples.add((head,))
-            for k, (t, w) in enumerate(mods):
-                if k != head_idx:
-                    a = _norm(w)
-                    np_.attrs.append((head, a))
-                    tuples.add((head, a))
             # attach pending relations (prep or verb) to this NP as object
             if pending:
+                last_incoming = []
                 for subj_heads, rel in pending:
                     for s in subj_heads:
-                        for o in np_.heads:
-                            tuples.add((s, _norm(rel), o))
+                        tuples.add((s, _norm(rel), head))
+                        last_incoming.append((s, _norm(rel)))
                 pending = []
                 pending_verb = None
-            elif pending_verb is not None and last_np is not None:
-                for s in last_np.heads:
-                    for o in np_.heads:
-                        tuples.add((s, _norm(pending_verb), o))
+            elif pending_verb is not None:
+                subj, lemma = pending_verb
+                verb_subj = subj
+                last_incoming = []
+                for s in subj:
+                    tuples.add((s, _norm(lemma), head))
+                    last_incoming.append((s, _norm(lemma)))
                 pending_verb = None
+            else:
+                last_incoming = []
+            if clause_subj is None:
+                clause_subj = np_.heads  # shared list: coordination extends it
+            after_cop = False
             nps.append(np_)
             last_np = np_
             continue
         if tag == "PREP":
-            if pending_verb is not None and last_np is not None:
+            if pending_verb is not None:
                 # "standing on top of X": verb becomes an attribute, the
-                # preposition carries the relation (SPICE paper Fig. 1)
+                # preposition carries the relation from the verb's subject
+                # (SPICE paper Fig. 1)
+                subj = pending_verb[0]
+                verb_subj = subj
                 flush_verb_as_attr()
-            if last_np is not None:
-                pending.append((list(last_np.heads), tok))
+                pending.append((list(subj), tok))
+            elif after_cop and clause_subj:
+                # "a man in a red shirt IS ON a motorcycle": the copular PP
+                # binds the clause subject, not the nearest NP
+                pending.append((list(clause_subj), tok))
+            elif tok in DIRECTIONAL_PREPS and verb_subj:
+                pending.append((list(verb_subj), tok))
+            elif last_np is not None:
+                # plain NP attachment: nearest (= last) conjunct only
+                pending.append((list(last_np.heads[-1:]), tok))
             i += 1
             continue
         if tag == "VERB":
             flush_verb_as_attr()
-            pending_verb = VERB_FORMS.get(tok, tok)
+            # participles ("a man with a dog RIDING a horse") modify the
+            # nearest NP (acl attachment); finite verbs ("a dirt path with
+            # a person RESTS ...") take the clause subject (nsubj) — and a
+            # progressive after a copula ("is riding") is finite too
+            participial = tok.endswith("ing") and not after_cop
+            if participial or clause_subj is None:
+                subj = list(last_np.heads) if last_np is not None else []
+            else:
+                subj = list(clause_subj)
+            pending_verb = (subj, VERB_FORMS.get(tok, tok))
+            verb_subj = subj
+            after_cop = False
             i += 1
             continue
         if tag == "COP":
             # transparent: "is on" -> prep relation; "is red" -> attribute
+            after_cop = True
             i += 1
-            if i < n and tags[i] == "ADJ" and last_np is not None:
-                for h in last_np.heads:
+            if i < n and tags[i] == "ADJ" and (clause_subj or last_np is not None):
+                for h in (clause_subj if clause_subj else last_np.heads):
                     tuples.add((h, _norm(toks[i])))
                 i += 1
+                after_cop = False
             continue
         if tag == "CONJ" and tok == "and":
-            # coordinate the NEXT NP with the previous one as co-subjects
+            # coordinate the NEXT NP with the previous one: co-subjects for
+            # what follows, co-objects of the relations that produced the
+            # previous NP (enhanced-dependency conj propagation)
             j = i + 1
             if j < n and tags[j] in ("DET", "NUM", "ADJ", "NOUN") and last_np is not None \
                     and pending_verb is None and not pending:
-                # chunk the coordinated NP inline
-                if tags[j] == "DET":
-                    j += 1
-                mods = []
-                while j < n and tags[j] in ("NUM", "ADJ", "NOUN"):
-                    mods.append((tags[j], toks[j]))
-                    j += 1
-                if mods:
-                    head_idx = max((k for k, (t, _) in enumerate(mods) if t == "NOUN"),
-                                   default=len(mods) - 1)
-                    head = _norm(mods[head_idx][1])
-                    tuples.add((head,))
-                    for k, (t, w) in enumerate(mods):
-                        if k != head_idx:
-                            tuples.add((head, _norm(w)))
+                head, j2 = chunk_np(j)
+                if head is not None:
+                    for s, rel in last_incoming:
+                        tuples.add((s, rel, head))
                     last_np.heads.append(head)
-                    i = j
+                    i = j2
                     continue
             i += 1
             continue
@@ -401,6 +466,10 @@ def parse_scene_graph(tokens: Sequence[str]) -> Set[Tuple[str, ...]]:
         if tag == "CONJ":
             flush_verb_as_attr()
             pending = []
+            clause_subj = None
+            verb_subj = None
+            last_incoming = []
+            after_cop = False
         i += 1
 
     flush_verb_as_attr()
@@ -410,13 +479,19 @@ def parse_scene_graph(tokens: Sequence[str]) -> Set[Tuple[str, ...]]:
 # ------------------------------------------------------------------ scoring
 
 def _load_synonyms() -> Dict[str, Set[int]]:
-    """Optional synonym groups: JSON list of word lists. A tuple element
-    matches if the stemmed words are equal or share a group."""
+    """Synonym groups: JSON list of word lists. A tuple element matches if
+    the stemmed words are equal or share a group.  Default: the built-in
+    caption-domain table (``metrics/spice_synonyms_en.py``, the jar-free
+    analog of official SPICE's WordNet synset matching); the
+    ``SPARSE_CAPTION_SPICE_SYNONYMS`` file REPLACES it when set."""
     path = os.environ.get(SYN_ENV, "")
-    if not path or not os.path.isfile(path):
-        return {}
-    with open(path) as f:
-        groups = json.load(f)
+    if path and os.path.isfile(path):
+        with open(path) as f:
+            groups = json.load(f)
+    else:
+        from sparse_caption_tpu.metrics.spice_synonyms_en import SYNONYM_GROUPS
+
+        groups = SYNONYM_GROUPS
     word_to_groups: Dict[str, Set[int]] = {}
     for gi, group in enumerate(groups):
         for w in group:
@@ -438,16 +513,27 @@ def _tuples_match(a: Tuple[str, ...], b: Tuple[str, ...], syn) -> bool:
 
 
 def _count_matches(cand: Set[Tuple[str, ...]], ref: Set[Tuple[str, ...]], syn) -> int:
+    """Maximum one-to-one tuple matching (augmenting paths — the tuple
+    sets are tiny, so the exact optimum is cheap; a greedy pass can
+    under-count when one candidate tuple blocks another's only match)."""
     if not syn:
         return len(cand & ref)
-    matched = 0
-    free = set(ref)
-    for t in cand:
-        hit = next((r for r in free if _tuples_match(t, r, syn)), None)
-        if hit is not None:
-            free.discard(hit)
-            matched += 1
-    return matched
+    ref_l = list(ref)
+    adj = {c: [i for i, r in enumerate(ref_l) if _tuples_match(c, r, syn)]
+           for c in cand}
+    match_r: Dict[int, Tuple[str, ...]] = {}
+
+    def assign(c, seen):
+        for i in adj[c]:
+            if i in seen:
+                continue
+            seen.add(i)
+            if i not in match_r or assign(match_r[i], seen):
+                match_r[i] = c
+                return True
+        return False
+
+    return sum(1 for c in cand if assign(c, set()))
 
 
 def f_score(cand: Set[Tuple[str, ...]], ref: Set[Tuple[str, ...]], syn=None) -> float:

@@ -12,7 +12,9 @@ estimate next to the corpus anchors:
 
     METEOR_py (exact+stem+function-word delta-weighting) = 0.3182
                                       vs corpus METEOR anchor 0.288
-    SPICE_py               = 0.1481   vs corpus SPICE  anchor 0.220
+    SPICE_py               = 0.1852   vs corpus SPICE  anchor 0.220
+                                      (0.1481 before the r5 extraction
+                                      rules + built-in synonym table)
 
 Single-image values are NOT corpus values (the exact BLEU on this image is
 0.889 vs the 0.806 corpus anchor — same-direction spread), so these are
@@ -73,11 +75,17 @@ def test_spice_py_fixture_anchor(anchor_pair):
 
     gts, res = anchor_pair
     score, per_img = compute_spice_py(gts, res)
-    assert abs(score - 0.148148) < 1e-5
+    # r5 extraction rules (clause-subject copular/finite-verb attachment,
+    # directional-PP-to-verb-subject, enhanced-dependency coordination
+    # sharing) + the built-in synonym table (motorcycle~bike fires here):
+    # 0.1481 -> 0.1852 = 2*m/(|cand|+|ref|) = 2*5/(6+48).  This is the
+    # anchor's ceiling for a correct parse: the sixth candidate tuple
+    # (man, down, road) has no reference counterpart under ANY extraction
+    # (no reference contains "down"), so official SPICE's own parses cap
+    # at the same m=5 — the corpus anchor 0.220 is an average over 5,000
+    # predictions, not this image's value.
+    assert abs(score - 0.185185) < 1e-5
     assert per_img == [score]
-    # the rule-based analog scores stricter than official SPICE's
-    # dependency-parse graphs (corpus anchor 0.220): fewer tuples are
-    # extracted, so matches are harder — documented under-estimate regime
     assert 0.05 < score < 0.35
 
 

@@ -102,12 +102,60 @@ def test_synonym_groups_enable_matching(tmp_path, monkeypatch):
     json.dump([["puppy", "dog"], ["sofa", "couch"]], open(syn, "w"))
     gts = {1: ["a dog on a couch"]}
     res = {1: ["a puppy on a sofa"]}
+    # an explicit SPARSE_CAPTION_SPICE_SYNONYMS file REPLACES the built-in
+    # table: an empty list recovers exact-only matching
+    empty = tmp_path / "empty.json"
+    json.dump([], open(empty, "w"))
+    monkeypatch.setenv("SPARSE_CAPTION_SPICE_SYNONYMS", str(empty))
     _, per_exact = compute_spice_py(gts, res)
     assert per_exact[0] == 0.0  # no exact overlap
     monkeypatch.setenv("SPARSE_CAPTION_SPICE_SYNONYMS", str(syn))
     mean, per = compute_spice_py(gts, res)
     assert per[0] == pytest.approx(1.0)  # all three tuples match via synsets
     assert mean == pytest.approx(1.0)
+
+
+def test_builtin_synonym_table_is_default(monkeypatch):
+    # metrics/spice_synonyms_en.py fires without any env configuration:
+    # couch~sofa share a WordNet-guided built-in group
+    monkeypatch.delenv("SPARSE_CAPTION_SPICE_SYNONYMS", raising=False)
+    _, per = compute_spice_py({1: ["a cat on a couch"]}, {1: ["a cat on a sofa"]})
+    assert per[0] == pytest.approx(1.0)
+
+
+def test_clause_subject_attachments():
+    # copular PP binds the clause subject, not the nearest NP
+    t = g("a man in a red shirt is on a motorcycle")
+    assert ("man", "on", "motorcycl") in t
+    assert ("shirt", "on", "motorcycl") not in t
+    # finite verbs take the clause subject (nsubj)
+    t = g("a dirt path with a person rests in the sun")
+    assert ("path", "rest") in t and ("person", "rest") not in t
+    # participles modify the nearest NP (acl attachment)
+    t = g("a man with a dog riding a horse")
+    assert ("dog", "ride", "hors") in t and ("man", "ride", "hors") not in t
+    # ... unless after a copula ("is riding" is a finite progressive)
+    t = g("a man with a dog is riding a horse")
+    assert ("man", "ride", "hors") in t and ("dog", "ride", "hors") not in t
+
+
+def test_directional_pp_attaches_to_verb_subject():
+    t = g("a man riding a motorcycle down a dirt road")
+    assert ("man", "down", "road") in t  # path PP modifies the motion
+    assert ("motorcycl", "down", "road") not in t
+    assert ("man", "ride", "motorcycl") in t and ("road", "dirt") in t
+    # non-directional in-VP PP still attaches to the nearest NP
+    t = g("a man holding a cup with a handle")
+    assert ("cup", "with", "handl") in t and ("man", "with", "handl") not in t
+
+
+def test_coordination_shares_incoming_relations():
+    # enhanced-dependency conj propagation: the incoming relation extends
+    # to the new conjunct, the trailing PP binds the nearest conjunct only
+    t = g("an area with a bridge and a background of mountains")
+    assert ("area", "with", "bridg") in t and ("area", "with", "background") in t
+    assert ("background", "of", "mountain") in t
+    assert ("bridg", "of", "mountain") not in t
 
 
 def test_compute_spice_py_mean_and_per_image():
