@@ -65,9 +65,12 @@ the PRIMARY decode section runs FIRST and a complete JSON line is printed
 immediately; after every subsequent section the CUMULATIVE JSON is
 re-printed (one line each — the last complete line wins). A global
 wall-clock budget (env SPARSE_CAPTION_BENCH_BUDGET_S, default 1200 s)
-skips remaining sections when exceeded, and a watchdog thread + SIGTERM/
-SIGALRM handlers flush the partial JSON with "truncated": true even if
-the main thread is blocked inside a relay compile.
+governs a skip-don't-break scheduler (round-5): each section carries a
+nominal cost estimate and is skipped individually when it no longer fits
+the remaining budget — cheaper sections behind a stalled one still run —
+and best-of-k timing drops to k=1 past 45% budget. A watchdog thread +
+SIGTERM/SIGALRM handlers flush the partial JSON with "truncated": true
+even if the main thread is blocked inside a relay compile.
 """
 
 from __future__ import annotations
@@ -109,6 +112,15 @@ def _log(msg):
         print(msg, file=sys.stderr, flush=True)
 
 
+_T0 = time.perf_counter()  # reset by main(); module import time is close enough
+
+
+def _trials(k: int) -> int:
+    """Best-of-k trial count, dropped to 1 once 45% of the budget is spent —
+    a slightly noisier number beats a skipped section (VERDICT r4 item 2)."""
+    return 1 if (time.perf_counter() - _T0) > 0.45 * BUDGET_S else k
+
+
 def _bf16_tree(jnp, tree):
     import jax
 
@@ -132,7 +144,7 @@ def bench_decode(jax, jnp, model, variables, att, amask, boxes):
 
     # best of 3 trials: transient tunnel stalls can poison a single timing
     best_dt = float("inf")
-    for _trial in range(3):
+    for _trial in range(_trials(3)):
         t0 = time.perf_counter()
         for _ in range(ITERS):
             out = decode(variables, att, amask, boxes)
@@ -270,7 +282,7 @@ def bench_xe_step(jax, jnp, b: int = 15, bf16_compute: bool = False):
     _log(f"xe warmup+compile: {time.perf_counter() - t0:.1f}s")
     n = 10
     best = float("inf")
-    for _trial in range(2):
+    for _trial in range(_trials(2)):
         t0 = time.perf_counter()
         for i in range(n):
             state, loss = xe_step(state)
@@ -439,7 +451,7 @@ def bench_scst_step(jax, jnp, tmp_dir="/tmp/sc_bench", mask_type=None, sparsity=
         state = run_device(state, 1)  # compile sample_fn + grad_fn_dev
         _log(f"scst device-only warmup+compile: {time.perf_counter() - t0:.1f}s")
         best = float("inf")
-        for _trial in range(2):
+        for _trial in range(_trials(2)):
             t0 = time.perf_counter()
             state = run_device(state, n)
             best = min(best, time.perf_counter() - t0)
@@ -450,7 +462,7 @@ def bench_scst_step(jax, jnp, tmp_dir="/tmp/sc_bench", mask_type=None, sparsity=
     np.asarray(loss)
     _log(f"scst warmup+compile: {time.perf_counter() - t0:.1f}s")
     best = float("inf")
-    for _trial in range(2):
+    for _trial in range(_trials(2)):
         t0 = time.perf_counter()
         for i in range(n):
             state, loss = scst_step(state)
@@ -488,7 +500,7 @@ def bench_scst_step(jax, jnp, tmp_dir="/tmp/sc_bench", mask_type=None, sparsity=
     state, ctr = run_pipelined(state, 2, 100)  # warmup (compiles nothing new)
     _log(f"scst pipelined warmup: {time.perf_counter() - t0:.1f}s")
     best = float("inf")
-    for _trial in range(2):
+    for _trial in range(_trials(2)):
         t0 = time.perf_counter()
         state, ctr = run_pipelined(state, n, ctr)
         best = min(best, time.perf_counter() - t0)
@@ -498,7 +510,7 @@ def bench_scst_step(jax, jnp, tmp_dir="/tmp/sc_bench", mask_type=None, sparsity=
     state = run_device(state, 1)  # compile grad_fn_dev
     _log(f"scst device-reward warmup+compile: {time.perf_counter() - t0:.1f}s")
     best = float("inf")
-    for _trial in range(2):
+    for _trial in range(_trials(2)):
         t0 = time.perf_counter()
         state = run_device(state, n)
         best = min(best, time.perf_counter() - t0)
@@ -581,7 +593,7 @@ def bench_scst_beam_step(jax, jnp, tmp_dir="/tmp/sc_bench"):
     _log(f"beam-scst warmup+compile: {time.perf_counter() - t0:.1f}s")
     n = 4
     best = float("inf")
-    for _trial in range(2):
+    for _trial in range(_trials(2)):
         t0 = time.perf_counter()
         for _ in range(n):
             state, loss = step(state)
@@ -628,7 +640,7 @@ def bench_updown(jax, jnp):
     np.asarray(decode(variables, att, amask, fc)[:, 0, 0])
     _log(f"updown decode warmup+compile: {time.perf_counter() - t0:.1f}s")
     best = float("inf")
-    for _trial in range(2):
+    for _trial in range(_trials(2)):
         t0 = time.perf_counter()
         for _ in range(3):
             np.asarray(decode(variables, att, amask, fc)[:, 0, 0])
@@ -674,7 +686,7 @@ def bench_updown(jax, jnp):
     _log(f"updown xe warmup+compile: {time.perf_counter() - t0:.1f}s")
     n = 10
     best = float("inf")
-    for _trial in range(2):
+    for _trial in range(_trials(2)):
         t0 = time.perf_counter()
         for _ in range(n):
             state, loss = xe_step(state)
@@ -722,7 +734,7 @@ def bench_acort(jax, jnp):
     np.asarray(decode(variables, att_b, amask_b, boxes)[:, 0, 0])
     _log(f"acort decode warmup+compile: {time.perf_counter() - t0:.1f}s")
     best = float("inf")
-    for _trial in range(2):
+    for _trial in range(_trials(2)):
         t0 = time.perf_counter()
         for _ in range(3):
             np.asarray(decode(variables, att_b, amask_b, boxes)[:, 0, 0])
@@ -764,7 +776,7 @@ def bench_acort(jax, jnp):
     _log(f"acort xe warmup+compile: {time.perf_counter() - t0:.1f}s")
     n = 10
     best = float("inf")
-    for _trial in range(2):
+    for _trial in range(_trials(2)):
         t0 = time.perf_counter()
         for _ in range(n):
             state, loss = xe_step(state)
@@ -820,6 +832,9 @@ class _Emitter:
 
 
 def main() -> None:
+    global _T0
+
+    _T0 = time.perf_counter()
     from sparse_caption_tpu.utils.jax_setup import enable_persistent_cache
 
     enable_persistent_cache()
@@ -948,28 +963,38 @@ def main() -> None:
         cps, sps = bench_acort(jax, jnp)
         em.update(acort_captions_per_sec=rnd(cps, 1), acort_xe_steps_per_sec=rnd(sps))
 
+    # (name, fn, estimated nominal cost in s — warm-cache relay, r3/r4 runs).
+    # The scheduler SKIPS a section whose estimate does not fit the
+    # remaining budget and still tries the cheaper ones behind it — the r4
+    # failure mode (one adverse 20-min compile starving every later
+    # section) now costs exactly the sections that genuinely don't fit,
+    # not everything behind the stall (VERDICT r4 item 2).
     sections = [
-        ("xe", sec_xe),
-        ("scst", sec_scst),
-        ("scst_scale_b64", sec_scst_scale),
-        ("xe_b256", sec_xe_b256),
-        ("xe_b256_bf16", sec_xe_b256_bf16),
-        ("scst_sparse", sec_scst_sparse),
-        ("scst_beam", sec_scst_beam),
-        ("updown", sec_updown),
-        ("acort", sec_acort),
+        ("xe", sec_xe, 60),
+        ("scst", sec_scst, 170),
+        ("scst_scale_b64", sec_scst_scale, 70),
+        ("xe_b256", sec_xe_b256, 80),
+        ("xe_b256_bf16", sec_xe_b256_bf16, 80),
+        ("scst_sparse", sec_scst_sparse, 170),
+        ("scst_beam", sec_scst_beam, 110),
+        ("updown", sec_updown, 110),
+        ("acort", sec_acort, 110),
     ]
-    for name, fn in sections:
-        if em.elapsed() > BUDGET_S:
-            skipped = [n for n, _ in sections[sections.index((name, fn)):]]
-            em.update(truncated=True,
-                      truncated_reason=f"wall-clock budget {BUDGET_S:.0f}s exceeded",
-                      skipped_sections=skipped)
-            break
+    skipped = []
+    for name, fn, est in sections:
+        if em.elapsed() + est > BUDGET_S:
+            skipped.append(name)
+            print(f"bench {name} skipped: est {est}s > {BUDGET_S - em.elapsed():.0f}s left",
+                  file=sys.stderr)
+            continue
         try:
             fn()
         except Exception as e:  # noqa: BLE001 — one failing sub-bench must not kill the line
             print(f"bench {name} failed: {type(e).__name__}: {e}", file=sys.stderr)
+    if skipped:
+        em.update(truncated=True,
+                  truncated_reason=f"wall-clock budget {BUDGET_S:.0f}s exceeded",
+                  skipped_sections=skipped)
     watchdog.cancel()
 
 

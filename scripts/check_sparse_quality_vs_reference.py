@@ -1,0 +1,372 @@
+#!/usr/bin/env python
+"""Sparse (supermask) quality A/B vs the LIVE reference on its real fixture.
+
+The paper's core claim is supermask pruning at high sparsity without
+quality loss (reference ``scripts/train_n_prune_transformer.py:27-230``,
+``README.md:80-92``).  The round-4 quality A/B
+(``check_quality_vs_reference.py``) gated dense XE only; this script runs
+the PRUNE pipeline head-to-head: both frameworks train
+``relation_transformer_prune`` (supermask, reference recipe: mask Adam
+group lr 100 / eps 1e-2, annealed |target - sparsity| loss) on the
+reference's own 5-real-image fixture with matched config/horizon/seeds,
+next to matched DENSE ``relation_transformer`` control arms — 4 runs per
+seed.  Each framework then folds its final masks into the weights
+(round-sigmoid, the reference's eval contract), greedy-decodes its 3
+TRAIN images and scores them with its OWN eval stack (memorization gate —
+the one deterministic target this fixture supports; the 1-image val split
+is CIDEr-degenerate by construction, see the dense harness docstring).
+
+Gates (VERDICT r4 item 1):
+  (a) reached sparsity within +-5% NNZ of the target on BOTH sides;
+  (b) across-seed mean train-split CIDEr (sparse): ours >= reference*0.9;
+  (c) the dense->sparse CIDEr delta is comparable across frameworks:
+      delta_ours <= delta_reference + 0.1 * dense_reference.
+
+Reference-side env shims (JVM/pycocotools/sentencepiece are unavailable)
+are inherited from check_quality_vs_reference.py — the reference's own
+vendored Bleu/Rouge/Cider scorers and its whole train/prune loop run
+unmodified.
+
+    python scripts/check_sparse_quality_vs_reference.py \
+        [--epochs 400] [--seeds 8888,777,42] [--out resources/quality_ab_sparse_r5.json]
+"""
+
+from __future__ import annotations
+
+import argparse
+import glob
+import json
+import os
+import subprocess
+import sys
+
+SCRIPTS = os.path.dirname(os.path.abspath(__file__))
+REPO = os.path.abspath(os.path.join(SCRIPTS, ".."))
+sys.path.insert(0, REPO)
+sys.path.insert(0, SCRIPTS)
+
+from check_quality_vs_reference import (  # noqa: E402
+    REF_DATA,
+    REFERENCE,
+    matched_args,
+    read_memorization_scores,
+)
+
+METRICS = ["Bleu_1", "Bleu_4", "ROUGE_L", "CIDEr"]
+TARGET = 0.95
+WEIGHT = 120.0  # reference sweeps 40/80/120 for ORT; 120 = shortest horizon
+
+
+def arm_args(log_dir: str, epochs: int, seed: int, sparse: bool,
+             d_model: int, ffd: int) -> list:
+    args = matched_args(log_dir, epochs, seed)
+    args[args.index("--caption_model") + 1] = (
+        "relation_transformer_prune" if sparse else "relation_transformer")
+    # the dense harness picked d32/ff64; at 95% sparsity a d32 layer keeps
+    # ~51 weights — too few to carry ANY signal, so the sparse A/B runs
+    # both arms a notch larger (matched within this artifact)
+    args[args.index("--d_model") + 1] = str(d_model)
+    args[args.index("--dim_feedforward") + 1] = str(ffd)
+    if sparse:
+        args += [
+            "--prune_type", "supermask",
+            "--prune_sparsity_target", str(TARGET),
+            "--prune_supermask_sparsity_weight", str(WEIGHT),
+        ]
+    return args
+
+
+# ------------------------------------------------------------------- ours
+def run_ours(log_dir: str, epochs: int, seed: int, sparse: bool,
+             d_model: int, ffd: int) -> None:
+    env = os.environ.copy()
+    env.pop("JAX_PLATFORMS", None)
+    script = "train_n_prune_transformer.py" if sparse else "train_transformer.py"
+    r = subprocess.run(
+        [sys.executable, os.path.join(SCRIPTS, script)]
+        + arm_args(log_dir, epochs, seed, sparse, d_model, ffd)
+        + ["--platform", "cpu"],
+        env=env, capture_output=True, text=True, timeout=14400)
+    assert r.returncode == 0, f"our training failed:\n{r.stderr[-4000:]}"
+    # our prune CLI appends a `{prune_type}_{target}` run subdir (mirror of
+    # the reference's __wg_{weight} suffix) — resolve the actual run dir
+    cfgs = glob.glob(os.path.join(log_dir, "**", "config.json"), recursive=True)
+    assert len(cfgs) == 1, f"expected one run dir under {log_dir}, got {cfgs}"
+    run_dir = os.path.dirname(cfgs[0])
+    # memorization eval: greedy-decode the TRAIN images from the final
+    # ckpt (for the prune run eval_model folds round-sigmoid masks into
+    # the weights and evals the stripped dense model — the reference's
+    # densified-eval contract, train_n_prune_transformer.py:293-301)
+    r = subprocess.run(
+        [sys.executable, os.path.join(SCRIPTS, "eval_model.py"),
+         "--log_dir", run_dir, "--ckpt", "last", "--split", "train",
+         "--beam_size", "1", "--platform", "cpu"],
+        env=env, capture_output=True, text=True, timeout=3600)
+    assert r.returncode == 0, f"our train-split eval failed:\n{r.stderr[-4000:]}"
+    if sparse:
+        code = (
+            "import sys, json; sys.path.insert(0, %r)\n"
+            "from sparse_caption_tpu.engine.checkpoints import find_ckpt, load_pytree\n"
+            "from sparse_caption_tpu.pruning import engine as pe\n"
+            "ck = load_pytree(find_ckpt(%r, 'model_last'))\n"
+            "s, nnz, _ = pe.mask_sparsity(ck['masks'], 'supermask')\n"
+            "json.dump({'sparsity': float(s), 'nnz': int(nnz)},\n"
+            "          open(%r, 'w'))\n"
+        ) % (REPO, run_dir, os.path.join(run_dir, "sparse_stats.json"))
+        r = subprocess.run([sys.executable, "-c", code], env=env,
+                           capture_output=True, text=True, timeout=1200)
+        assert r.returncode == 0, f"our sparsity readout failed:\n{r.stderr[-2000:]}"
+
+
+# -------------------------------------------------------------- reference
+def run_reference(log_dir: str, epochs: int, seed: int, sparse: bool,
+                  d_model: int, ffd: int) -> None:
+    """Runs in its own subprocess (via --only reference...)."""
+    from check_quality_vs_reference import run_reference as run_ref_dense
+
+    if not sparse:
+        # reuse the dense harness wholesale, with ORT args
+        import check_quality_vs_reference as q
+
+        orig = q.matched_args
+        q.matched_args = lambda ld, ep, seed=8888: arm_args(ld, ep, seed, False,
+                                                            d_model, ffd)
+        try:
+            run_ref_dense(log_dir, epochs, seed)
+        finally:
+            q.matched_args = orig
+        return
+
+    # ---- sparse: reference train_n_prune_transformer, shimmed like the
+    # dense harness (sentencepiece stub, java/COCO-API shims) ----
+    import types  # noqa: F401
+
+    from bench_cpu_vs_reference import _stub_reference_deps
+    from check_quality_vs_reference import _install_sentencepiece_word_stub
+
+    _install_sentencepiece_word_stub()
+    _stub_reference_deps()
+    import importlib.machinery
+
+    if "pycocotools" not in sys.modules:
+        pc = types.ModuleType("pycocotools")
+        pcc = types.ModuleType("pycocotools.coco")
+        pcc.COCO = object
+        pc.coco = pcc
+        pc.__spec__ = importlib.machinery.ModuleSpec("pycocotools", None)
+        pcc.__spec__ = importlib.machinery.ModuleSpec("pycocotools.coco", None)
+        sys.modules["pycocotools"] = pc
+        sys.modules["pycocotools.coco"] = pcc
+    import torch
+
+    torch.set_num_threads(os.cpu_count() or 1)
+
+    from sparse_caption_tpu.metrics.ptb_tokenizer import ptb_tokenize
+
+    with open(os.path.join(REF_DATA, "dataset_coco_testing.json")) as f:
+        _fixture = json.load(f)
+    gts_raw = {img["cocoid"]: [{"caption": s["raw"].strip()} for s in img["sentences"]]
+               for img in _fixture["images"]}
+
+    def shim_evaluate(res_file, ann_file):
+        from sparse_caption.coco_caption.pycocoevalcap.bleu.bleu import Bleu
+        from sparse_caption.coco_caption.pycocoevalcap.cider.cider import Cider
+        from sparse_caption.coco_caption.pycocoevalcap.rouge.rouge import Rouge
+
+        with open(res_file) as fh:
+            preds = json.load(fh)
+        res_raw = {p["image_id"]: [{"caption": p["caption"]}] for p in preds}
+        ids = [i for i in res_raw if i in gts_raw]
+        assert ids, f"no prediction ids overlap fixture GT: {sorted(res_raw)}"
+        gts_tok = ptb_tokenize({i: gts_raw[i] for i in ids})
+        res_tok = ptb_tokenize({i: res_raw[i] for i in ids})
+        scores = {"METEOR": 0.0, "SPICE": 0.0}
+        bleu, _ = Bleu(4).compute_score(gts_tok, res_tok)
+        scores.update(dict(zip(["Bleu_1", "Bleu_2", "Bleu_3", "Bleu_4"], bleu)))
+        scores["ROUGE_L"] = Rouge().compute_score(gts_tok, res_tok)[0]
+        scores["CIDEr"] = Cider().compute_score(gts_tok, res_tok)[0]
+        return scores, [], None
+
+    import sparse_caption.data.mscoco as ref_mscoco
+    import sparse_caption.utils.training as ref_training
+
+    ref_training.evaluate_caption_json = shim_evaluate
+    ref_mscoco.file_utils.get_file = lambda **kw: None
+    ref_mscoco.copyfile = lambda src, dst: None
+
+    import importlib.util
+
+    from sparse_caption.opts import parse_opt as ref_parse_opt
+    from sparse_caption.utils.config import Config as RefConfig
+
+    spec = importlib.util.spec_from_file_location(
+        "ref_train_n_prune", os.path.join(REFERENCE, "scripts",
+                                          "train_n_prune_transformer.py"))
+    ref_mod = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(ref_mod)
+
+    argv = arm_args(log_dir, epochs, seed, True, d_model, ffd) + ["--id", "QUALAB"]
+    config = RefConfig(**vars(ref_parse_opt(argv)))
+    try:
+        ref_mod.main(config)  # NOTE: appends __wg_{weight} to log_dir
+    except FileNotFoundError as e:
+        # tolerated exactly like the reference's own test (its final
+        # eval_test wants a best ckpt the tiny run may not produce)
+        if "model_best" not in str(e):
+            raise
+
+    run_dirs = glob.glob(os.path.join(log_dir + "*", "QUALAB"))
+    assert len(run_dirs) == 1, f"expected one reference run dir, got {run_dirs}"
+    run_dir = run_dirs[0]
+
+    # ---- fold masks into model_last (round-sigmoid: eval-mode sampling),
+    # record reached sparsity, eval the densified model on the TRAIN split
+    cfg2 = RefConfig.load_config_json(os.path.join(run_dir, "config.json"))
+    module = ref_mod.CaptioningModel(cfg2)
+    module.model.load_state_dict(torch.load(os.path.join(run_dir, "model_last.pth")))
+    module.model.eval()  # supermask sample == round(sigmoid) (deterministic)
+    with torch.no_grad():
+        module.model.prune_weights()
+        sparsity, nnz, _, _ = module.model.all_mask_sparsities
+    json.dump({"sparsity": float(sparsity), "nnz": int(nnz)},
+              open(os.path.join(run_dir, "sparse_stats.json"), "w"))
+    dense_sd = module.model.state_dict_dense(discard_pruning_mask=True,
+                                             prune_weights=False)
+
+    cfg3 = RefConfig.load_config_json(os.path.join(run_dir, "config.json"))
+    cfg3.caption_model = cfg3.caption_model[: -len("_prune")]
+    module2 = ref_mod.CaptioningModel(cfg3)
+    missing, unexpected = module2.model.load_state_dict(dense_sd, strict=False)
+    assert not unexpected, f"unexpected keys into dense model: {unexpected[:5]}"
+    module2.model.eval()
+    module2.global_step = int(cfg3.get("best_global_step", 0)) or epochs
+    from torch.utils.data import DataLoader
+
+    loader = DataLoader(
+        dataset=module2.data.get_split("train", True),
+        batch_size=cfg3.get("batch_size_eval", cfg3.batch_size),
+        shuffle=False, num_workers=0, collate_fn=module2.collate_fn["eval"],
+        drop_last=False)
+    module2.eval_on_split(loader, split="train")
+
+
+# ------------------------------------------------------------------- main
+def read_sparse_stats(log_dir: str) -> dict:
+    paths = sorted(glob.glob(os.path.join(log_dir + "*", "**", "sparse_stats.json"),
+                             recursive=True) +
+                   glob.glob(os.path.join(log_dir, "sparse_stats.json")))
+    assert paths, f"no sparse_stats.json under {log_dir}"
+    with open(paths[-1]) as f:
+        return json.load(f)
+
+
+def read_memo(log_dir: str) -> dict:
+    # reference sparse run dirs carry the __wg suffix
+    cands = sorted(glob.glob(log_dir + "*"))
+    for c in cands:
+        try:
+            return read_memorization_scores(c)
+        except AssertionError:
+            continue
+    raise AssertionError(f"no train-split score json under any of {cands}")
+
+
+def main() -> None:
+    ap = argparse.ArgumentParser(description=__doc__.split("\n")[0])
+    ap.add_argument("--epochs", type=int, default=400)
+    ap.add_argument("--seeds", type=str, default="8888,777,42")
+    ap.add_argument("--d_model", type=int, default=64)
+    ap.add_argument("--dim_feedforward", type=int, default=128)
+    ap.add_argument("--log_root", type=str, default="/tmp/sc_sparse_ab")
+    ap.add_argument("--out", type=str, default=None)
+    ap.add_argument("--only", type=str, default=None,
+                    choices=[None, "ours", "reference"])
+    ap.add_argument("--arm", type=str, default="sparse", choices=["dense", "sparse"])
+    ap.add_argument("--seed", type=int, default=8888)
+    args = ap.parse_args()
+    if not os.path.isdir(REF_DATA):
+        print(json.dumps({"error": f"reference fixture not found at {REF_DATA}"}))
+        return
+
+    sparse = args.arm == "sparse"
+    if args.only == "ours":
+        run_ours(os.path.join(args.log_root, f"ours_{args.arm}_{args.seed}"),
+                 args.epochs, args.seed, sparse, args.d_model, args.dim_feedforward)
+        return
+    if args.only == "reference":
+        run_reference(os.path.join(args.log_root, f"reference_{args.arm}_{args.seed}"),
+                      args.epochs, args.seed, sparse, args.d_model,
+                      args.dim_feedforward)
+        return
+
+    import shutil
+
+    seeds = [int(s) for s in args.seeds.split(",") if s]
+    shutil.rmtree(args.log_root, ignore_errors=True)
+    os.makedirs(args.log_root, exist_ok=True)
+    memo = {f"{side}_{arm}": {m: [] for m in METRICS}
+            for side in ("ours", "reference") for arm in ("dense", "sparse")}
+    sparsities = {"ours": [], "reference": []}
+    for seed in seeds:
+        for side in ("reference", "ours"):
+            for arm in ("dense", "sparse"):
+                r = subprocess.run(
+                    [sys.executable, os.path.abspath(__file__), "--only", side,
+                     "--arm", arm, "--epochs", str(args.epochs),
+                     "--log_root", args.log_root, "--seed", str(seed),
+                     "--d_model", str(args.d_model),
+                     "--dim_feedforward", str(args.dim_feedforward)],
+                    capture_output=True, text=True, timeout=14400)
+                assert r.returncode == 0, \
+                    f"{side}/{arm} seed {seed} failed:\n{r.stderr[-4000:]}"
+                side_dir = os.path.join(args.log_root, f"{side}_{arm}_{seed}")
+                for m in METRICS:
+                    memo[f"{side}_{arm}"][m].append(read_memo(side_dir)[m])
+                if arm == "sparse":
+                    sparsities[side].append(
+                        round(read_sparse_stats(side_dir)["sparsity"], 4))
+
+    def mean(vals):
+        return round(sum(vals) / len(vals), 4)
+
+    memo_mean = {k: {m: mean(v) for m, v in d.items()} for k, d in memo.items()}
+    sp_mean = {side: mean(v) for side, v in sparsities.items()}
+    # (a) reached sparsity within +-5% NNZ of target, both frameworks
+    nnz_lo, nnz_hi = 1 - (1 - TARGET) * 1.05, 1 - (1 - TARGET) * 0.95
+    gate_a = all(nnz_lo <= s <= nnz_hi for s in sp_mean.values())
+    # (b) sparse memorization CIDEr: ours >= reference * 0.9
+    gate_b = memo_mean["ours_sparse"]["CIDEr"] >= memo_mean["reference_sparse"]["CIDEr"] * 0.9
+    # (c) dense->sparse delta comparable across frameworks
+    delta_ours = memo_mean["ours_dense"]["CIDEr"] - memo_mean["ours_sparse"]["CIDEr"]
+    delta_ref = (memo_mean["reference_dense"]["CIDEr"]
+                 - memo_mean["reference_sparse"]["CIDEr"])
+    gate_c = delta_ours <= delta_ref + 0.1 * memo_mean["reference_dense"]["CIDEr"]
+    out = {
+        "config": f"relation_transformer(_prune) d{args.d_model}/"
+                  f"ff{args.dim_feedforward}/2L, supermask target {TARGET} "
+                  f"weight {WEIGHT} (mask adam lr 100 eps 1e-2), word tokenizer, "
+                  f"noam warmup 200, {args.epochs} epochs (1 step/epoch), fp32 CPU, "
+                  f"reference fixture, seeds {seeds}",
+        "reached_sparsity_mean": sp_mean,
+        "reached_sparsity_per_seed": sparsities,
+        "memorization_mean_cider": {k: v["CIDEr"] for k, v in memo_mean.items()},
+        "memorization_mean": memo_mean,
+        "memorization_per_seed": memo,
+        "dense_to_sparse_cider_delta": {"ours": round(delta_ours, 4),
+                                        "reference": round(delta_ref, 4)},
+        "gates": {
+            "a_sparsity_within_5pct_nnz": bool(gate_a),
+            "b_sparse_cider_ours_ge_ref_x0.9": bool(gate_b),
+            "c_delta_comparable": bool(gate_c),
+        },
+        "pass": bool(gate_a and gate_b and gate_c),
+    }
+    line = json.dumps(out)
+    print(line)
+    if args.out:
+        with open(args.out, "w") as f:
+            f.write(line + "\n")
+
+
+if __name__ == "__main__":
+    main()

@@ -57,6 +57,55 @@ def _free_port() -> int:
     return port
 
 
+def _env_with(n_local):
+    env = os.environ.copy()
+    env["XLA_FLAGS"] = f"--xla_force_host_platform_device_count={n_local}"
+    env.pop("JAX_PLATFORMS", None)  # --platform cpu does the pinning
+    return env
+
+
+def _communicate_all(procs, timeout):
+    """Drain every process's stdout CONCURRENTLY: the processes synchronize
+    via collectives, so a sequential communicate() can deadlock when one
+    fills its 64KB pipe while the caller is still blocked reading another."""
+    import threading
+
+    outs = [None] * len(procs)
+
+    def drain(i, p):
+        outs[i], _ = p.communicate(timeout=timeout)
+
+    threads = [threading.Thread(target=drain, args=(i, p), daemon=True)
+               for i, p in enumerate(procs)]
+    for t in threads:
+        t.start()
+    for t in threads:
+        t.join(timeout=timeout)
+    return outs
+
+
+def _assert_ckpts_close(dir_a, dir_b, tol=1e-5):
+    """Leaf-by-leaf checkpoint comparison: float leaves within tol, other
+    dtypes exact (only cross-process reduction order may differ)."""
+    import jax
+
+    from sparse_caption_tpu.engine.checkpoints import load_pytree
+
+    for name in ("model_last.msgpack", "optimizer_last.msgpack"):
+        a_leaves = jax.tree.leaves(load_pytree(str(os.path.join(dir_a, name))))
+        b_leaves = jax.tree.leaves(load_pytree(str(os.path.join(dir_b, name))))
+        assert len(a_leaves) == len(b_leaves) > 0
+        worst = 0.0
+        for a, b in zip(a_leaves, b_leaves):
+            a, b = np.asarray(a), np.asarray(b)
+            assert a.shape == b.shape
+            if a.dtype.kind == "f":
+                worst = max(worst, float(np.max(np.abs(a - b))) if a.size else 0.0)
+            else:
+                np.testing.assert_array_equal(a, b)
+        assert worst < tol, f"{name}: max |a - b| = {worst}"
+
+
 def test_loader_process_shards_reassemble_global_batch(fixture_dataset, tmp_path):
     """Every process enumerates the identical global batch order and loads
     only its contiguous slice; concatenating the slices must reproduce the
@@ -129,12 +178,6 @@ def test_two_process_tensor_parallel_matches_single_process(fixture_dataset, tmp
     mp_dir = tmp_path / "mp_tp"
     sp_dir = tmp_path / "sp_tp"
 
-    def env_with(n_local):
-        env = os.environ.copy()
-        env["XLA_FLAGS"] = f"--xla_force_host_platform_device_count={n_local}"
-        env.pop("JAX_PLATFORMS", None)
-        return env
-
     procs = []
     for pid in (0, 1):
         argv = TINY + [
@@ -145,38 +188,20 @@ def test_two_process_tensor_parallel_matches_single_process(fixture_dataset, tmp
             "--dist_platform", "cpu",
         ]
         procs.append(subprocess.Popen(
-            [sys.executable, TRAIN] + argv, env=env_with(2),
+            [sys.executable, TRAIN] + argv, env=_env_with(2),
             stdout=subprocess.PIPE, stderr=subprocess.STDOUT, text=True))
-    outs = [p.communicate(timeout=1800)[0] for p in procs]
+    outs = _communicate_all(procs, timeout=1800)
     for pid, (p, out) in enumerate(zip(procs, outs)):
-        assert p.returncode == 0, f"process {pid} failed:\n{out[-4000:]}"
+        assert p.returncode == 0, f"process {pid} failed:\n{(out or '')[-4000:]}"
 
     r = subprocess.run(
         [sys.executable, TRAIN] + TINY + [
             "--dataset_dir", fixture_dataset, "--log_dir", str(sp_dir),
             "--mesh_shape", "2,2"],
-        env=env_with(4), capture_output=True, text=True, timeout=1800)
+        env=_env_with(4), capture_output=True, text=True, timeout=1800)
     assert r.returncode == 0, r.stderr[-4000:]
 
-    import jax
-
-    from sparse_caption_tpu.engine.checkpoints import load_pytree
-
-    for name in ("model_last.msgpack", "optimizer_last.msgpack"):
-        mp_tree = load_pytree(str(mp_dir / name))
-        sp_tree = load_pytree(str(sp_dir / name))
-        mp_leaves = jax.tree.leaves(mp_tree)
-        sp_leaves = jax.tree.leaves(sp_tree)
-        assert len(mp_leaves) == len(sp_leaves) > 0
-        worst = 0.0
-        for a, b in zip(mp_leaves, sp_leaves):
-            a, b = np.asarray(a), np.asarray(b)
-            assert a.shape == b.shape
-            if a.dtype.kind == "f":
-                worst = max(worst, float(np.max(np.abs(a - b))) if a.size else 0.0)
-            else:
-                np.testing.assert_array_equal(a, b)
-        assert worst < 1e-5, f"{name}: max |mp(2,2) - sp(2,2)| = {worst}"
+    _assert_ckpts_close(mp_dir, sp_dir)
 
 
 @pytest.mark.slow
@@ -187,12 +212,6 @@ def test_two_process_train_matches_single_process(fixture_dataset, tmp_path):
     mp_dir = tmp_path / "mp"
     sp_dir = tmp_path / "sp"
 
-    def env_with(n_local):
-        env = os.environ.copy()
-        env["XLA_FLAGS"] = f"--xla_force_host_platform_device_count={n_local}"
-        env.pop("JAX_PLATFORMS", None)  # --platform cpu does the pinning
-        return env
-
     procs = []
     for pid in (0, 1):
         argv = TINY + [
@@ -202,46 +221,25 @@ def test_two_process_train_matches_single_process(fixture_dataset, tmp_path):
             "--dist_platform", "cpu",
         ]
         procs.append(subprocess.Popen(
-            [sys.executable, TRAIN] + argv, env=env_with(2),
+            [sys.executable, TRAIN] + argv, env=_env_with(2),
             stdout=subprocess.PIPE, stderr=subprocess.STDOUT, text=True))
-    outs = []
-    for p in procs:
-        out, _ = p.communicate(timeout=1800)
-        outs.append(out)
+    outs = _communicate_all(procs, timeout=1800)
     for pid, (p, out) in enumerate(zip(procs, outs)):
-        assert p.returncode == 0, f"process {pid} failed:\n{out[-4000:]}"
+        assert p.returncode == 0, f"process {pid} failed:\n{(out or '')[-4000:]}"
 
     r = subprocess.run(
         [sys.executable, TRAIN] + TINY + [
             "--dataset_dir", fixture_dataset, "--log_dir", str(sp_dir),
             "--mesh_shape", "4"],
-        env=env_with(4), capture_output=True, text=True, timeout=1800)
+        env=_env_with(4), capture_output=True, text=True, timeout=1800)
     assert r.returncode == 0, r.stderr[-4000:]
 
     # process 0 owns the host-side artifacts on the shared log_dir
-    from sparse_caption_tpu.engine.checkpoints import load_pytree
-
     for name in ("model_last.msgpack", "optimizer_last.msgpack", "config.json"):
         assert os.path.isfile(mp_dir / name), name
-    import jax
-
-    for name in ("model_last.msgpack", "optimizer_last.msgpack"):
-        mp_tree = load_pytree(str(mp_dir / name))
-        sp_tree = load_pytree(str(sp_dir / name))
-        mp_leaves = jax.tree.leaves(mp_tree)
-        sp_leaves = jax.tree.leaves(sp_tree)
-        assert len(mp_leaves) == len(sp_leaves) > 0
-        worst = 0.0
-        for a, b in zip(mp_leaves, sp_leaves):
-            a, b = np.asarray(a), np.asarray(b)
-            assert a.shape == b.shape
-            if a.dtype.kind == "f":
-                worst = max(worst, float(np.max(np.abs(a - b))) if a.size else 0.0)
-            else:
-                np.testing.assert_array_equal(a, b)
-        # only cross-process reduction order can differ (gloo ring vs
-        # single-host all-reduce) — a few ulps over 4 optimizer steps
-        assert worst < 1e-5, f"{name}: max |mp - sp| = {worst}"
+    # only cross-process reduction order can differ (gloo ring vs
+    # single-host all-reduce) — a few ulps over 4 optimizer steps
+    _assert_ckpts_close(mp_dir, sp_dir)
 
     # eval artifacts were produced exactly once (primary only)
     assert os.path.isfile(mp_dir / "val_beam_1" / "scores.csv")
@@ -256,7 +254,7 @@ def test_two_process_train_matches_single_process(fixture_dataset, tmp_path):
         [sys.executable, TRAIN] + argv + [
             "--dataset_dir", fixture_dataset, "--log_dir", str(resume_dir),
             "--start_from", str(mp_dir), "--resume_training", "--mesh_shape", "4"],
-        env=env_with(4), capture_output=True, text=True, timeout=1800)
+        env=_env_with(4), capture_output=True, text=True, timeout=1800)
     assert r.returncode == 0, r.stderr[-4000:]
     resumed = load_pytree(str(resume_dir / "optimizer_last.msgpack"))
     started = load_pytree(str(mp_dir / "optimizer_last.msgpack"))
