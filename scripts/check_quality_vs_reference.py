@@ -74,7 +74,8 @@ def matched_args(log_dir: str, epochs: int, seed: int = 8888) -> list:
         "--noamopt_warmup", "200",
         "--caption_model", "transformer",
         "--dataset", "mscoco_testing",
-        "--dataset_dir", REF_DATA,
+        # SC_QUALITY_AB_DATA: fold-rotated copies of the fixture (--folds)
+        "--dataset_dir", os.environ.get("SC_QUALITY_AB_DATA", REF_DATA),
         "--log_dir", log_dir,
         "--tokenizer", "word",
         "--vocab_size", "100",
@@ -352,6 +353,89 @@ def run_reference(log_dir: str, epochs: int, seed: int) -> None:
     module.eval_on_split(loader, split="train")
 
 
+def make_fold_dataset(src: str, dst: str, fold: int) -> None:
+    """Write a fold-rotated copy of the fixture: 2 train / 2 val / 1 test
+    split labels permuted per fold, features and images symlinked.  The
+    original fixture's 1-image val split is CIDEr-degenerate by
+    construction (idf = log(1/df) = 0); a 2-image val corpus gives unique
+    grams idf log 2, and rotating 3 folds scores 6 val decodes total."""
+    os.makedirs(dst, exist_ok=True)
+    with open(os.path.join(src, "dataset_coco_testing.json")) as f:
+        data = json.load(f)
+    imgs = sorted(data["images"], key=lambda im: im["cocoid"])
+    n = len(imgs)
+    order = [imgs[(fold * 2 + i) % n] for i in range(n)]
+    for i, im in enumerate(order):
+        im["split"] = "train" if i < 2 else ("val" if i < 4 else "test")
+    with open(os.path.join(dst, "dataset_coco_testing.json"), "w") as f:
+        json.dump(data, f)
+    for name in ("bu", "train2014", "val2014"):
+        link = os.path.join(dst, name)
+        if not os.path.exists(link):
+            os.symlink(os.path.join(src, name), link)
+
+
+def run_folds(args) -> None:
+    """--folds K: per-fold dense A/B (one seed each) gating on a
+    NON-degenerate val CIDEr (VERDICT r4 item 9) next to the main
+    memorization gate."""
+    import shutil
+    import subprocess
+
+    shutil.rmtree(args.log_root, ignore_errors=True)
+    os.makedirs(args.log_root, exist_ok=True)
+    per_fold = {"ours": [], "reference": []}
+    memo = {"ours": [], "reference": []}
+    for k in range(args.folds):
+        data_dir = os.path.join(args.log_root, f"fold{k}_data")
+        make_fold_dataset(REF_DATA, data_dir, k)
+        fold_root = os.path.join(args.log_root, f"fold{k}")
+        env = dict(os.environ, SC_QUALITY_AB_DATA=data_dir)
+        for side in ("reference", "ours"):
+            r = subprocess.run(
+                [sys.executable, os.path.abspath(__file__), "--only", side,
+                 "--epochs", str(args.epochs), "--log_root", fold_root,
+                 "--seed", str(args.seed)],
+                env=env, capture_output=True, text=True, timeout=7200)
+            assert r.returncode == 0, f"{side} fold {k} failed:\n{r.stderr[-4000:]}"
+            side_dir = os.path.join(fold_root, f"{side}_{args.seed}")
+            traj = read_trajectories(side_dir)
+            per_fold[side].append({m: round(max(c for _, c in traj[m]), 4)
+                                   for m in METRICS})
+            memo[side].append(read_memorization_scores(side_dir))
+
+    mean_val = {side: {m: round(sum(f[m] for f in per_fold[side]) / args.folds, 4)
+                       for m in METRICS} for side in per_fold}
+    mean_memo = {side: {m: round(sum(f[m] for f in memo[side]) / args.folds, 4)
+                        for m in METRICS} for side in memo}
+    # the val gate needs signal on the reference side to be meaningful:
+    # a 2-image-trained model CAN produce all-zero val CIDEr on a fold —
+    # the mean over folds is gated only when the reference shows any
+    nondegenerate = mean_val["reference"]["CIDEr"] > 0
+    ok_val = (not nondegenerate) or (
+        mean_val["ours"]["CIDEr"] >= mean_val["reference"]["CIDEr"] * (1 - args.rel_eps)
+        - 0.05)
+    ok_memo = all(mean_memo["ours"][m] >= mean_memo["reference"][m] * (1 - args.rel_eps)
+                  for m in ("CIDEr", "Bleu_4"))
+    out = {
+        "config": f"fold-rotated fixture (2 train / 2 val / 1 test x {args.folds} "
+                  f"folds), transformer d32/ff64/2L, noam warmup 200, "
+                  f"{args.epochs} epochs, fp32 CPU, seed {args.seed}",
+        "val_best_mean": mean_val,
+        "val_best_per_fold": per_fold,
+        "memorization_mean": mean_memo,
+        "memorization_per_fold": memo,
+        "val_gate_nondegenerate": bool(nondegenerate),
+        "gates": {"val_cider": bool(ok_val), "memorization": bool(ok_memo)},
+        "pass": bool(ok_val and ok_memo),
+    }
+    line = json.dumps(out)
+    print(line)
+    if args.out:
+        with open(args.out, "w") as f:
+            f.write(line + "\n")
+
+
 def main() -> None:
     ap = argparse.ArgumentParser(description=__doc__.split("\n")[0])
     ap.add_argument("--epochs", type=int, default=300)
@@ -361,9 +445,17 @@ def main() -> None:
     ap.add_argument("--log_root", type=str, default="/tmp/sc_quality_ab")
     ap.add_argument("--only", type=str, default=None, choices=[None, "ours", "reference"])
     ap.add_argument("--seed", type=int, default=8888, help="(with --only) this run's seed")
+    ap.add_argument("--folds", type=int, default=0,
+                    help="rotate the 5 fixture images through K train/val folds and "
+                         "gate on the (non-degenerate) mean val CIDEr")
+    ap.add_argument("--out", type=str, default=None)
     args = ap.parse_args()
     if not os.path.isdir(REF_DATA):
         print(json.dumps({"error": f"reference fixture not found at {REF_DATA}"}))
+        return
+
+    if args.folds and not args.only:
+        run_folds(args)
         return
 
     if args.only == "ours":

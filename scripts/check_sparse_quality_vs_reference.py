@@ -106,6 +106,7 @@ def run_ours(log_dir: str, epochs: int, seed: int, sparse: bool,
     if sparse:
         code = (
             "import sys, json; sys.path.insert(0, %r)\n"
+            "import jax; jax.config.update('jax_platforms', 'cpu')\n"  # axon ignores env
             "from sparse_caption_tpu.engine.checkpoints import find_ckpt, load_pytree\n"
             "from sparse_caption_tpu.pruning import engine as pe\n"
             "ck = load_pytree(find_ckpt(%r, 'model_last'))\n"
@@ -215,7 +216,9 @@ def run_reference(log_dir: str, epochs: int, seed: int, sparse: bool,
         if "model_best" not in str(e):
             raise
 
-    run_dirs = glob.glob(os.path.join(log_dir + "*", "QUALAB"))
+    # the reference appends __wg_{weight} after the run id is already part
+    # of log_dir, so the suffix can land on either path segment
+    run_dirs = glob.glob(os.path.join(log_dir + "*", "QUALAB*"))
     assert len(run_dirs) == 1, f"expected one reference run dir, got {run_dirs}"
     run_dir = run_dirs[0]
 

@@ -138,9 +138,23 @@ class TrainingModule:
         ckpt_ext = ".orbax" if config.get("ckpt_backend") == "orbax" else ".msgpack"
         self.checkpoint_path = os.path.join(config.log_dir, "model_{}" + ckpt_ext)
         self.optimizer_path = os.path.join(config.log_dir, "optimizer_{}" + ckpt_ext)
-        # scale-out: data(+tensor)-parallel mesh when --mesh_shape is set
+        # scale-out: data(+tensor)-parallel mesh when --mesh_shape is set.
+        # With --pipeline_stages the PIPE mesh owns the devices instead:
+        # a data-only --mesh_shape composes as dp x pp inside the pipelined
+        # step (self.pipeline_dp), any tensor axis is rejected there.
         self.mesh = None
-        if config.get("mesh_shape"):
+        self.pipeline_dp = 1
+        if config.get("mesh_shape") and int(config.get("pipeline_stages") or 0) >= 1:
+            dims = [int(x) for x in str(config.mesh_shape).split(",") if x]
+            if len(dims) > 1 and dims[1] != 1:
+                raise ValueError(
+                    "--pipeline_stages composes with a DATA-only --mesh_shape "
+                    f"(dp x pp); tensor axis {dims[1]} is not supported")
+            self.pipeline_dp = dims[0]
+            assert config.batch_size % self.pipeline_dp == 0, (
+                f"batch_size {config.batch_size} must divide by data-parallel "
+                f"size {self.pipeline_dp}")
+        elif config.get("mesh_shape"):
             from sparse_caption_tpu.parallel import make_mesh
 
             self.mesh = make_mesh(config.mesh_shape)
@@ -547,23 +561,22 @@ class TrainingModule:
     def make_xe_step_pipelined(self):
         """``--pipeline_stages N``: XE train step with the decoder stack
         executed GPipe pipeline-parallel over an N-device ``("pipe",)``
-        mesh (``parallel/pipeline.py``).  Dense transformer-family models,
-        deterministic forward (no dropout), f32 — the flag's contract is
-        the scale-out compute/communication structure, pinned by the
-        N=1 == N=2 e2e equality test (tests/test_parallel.py)."""
+        mesh — or, with a data-only ``--mesh_shape D``, a 2-D
+        ``("data", "pipe")`` mesh over D x N devices (``parallel/
+        pipeline.py``).  Transformer-family models incl. pruned variants
+        (supermasks sample once per step outside the pipeline via the STE
+        — exactly one forward per step, so semantics match the in-model
+        fresh-sample-per-forward), deterministic forward (no dropout),
+        f32 — pinned by the N=1 == N=2 e2e equality test
+        (tests/test_parallel.py)."""
         from sparse_caption_tpu.parallel.pipeline import (
             make_pipe_mesh, pipeline_xe_train_loss_and_grads)
 
         config = self.config
         n_stages = int(config.pipeline_stages)
         n_micro = int(config.get("pipeline_microbatches") or n_stages)
-        if self.mask_cfg is not None:
-            raise ValueError("--pipeline_stages covers dense models only (no masks collection)")
         if getattr(self.model, "share_layer_decoder", None) is not None:
             raise ValueError("--pipeline_stages needs one param set per decoder layer (no share_layer)")
-        if self.mesh is not None:
-            raise ValueError("--pipeline_stages and --mesh_shape are mutually exclusive "
-                             "(the pipe mesh owns the devices)")
         if 0 <= int(config.get("scst_start_epoch", -1)):
             raise ValueError("--pipeline_stages supports XE training only (no SCST phase)")
         logger.warning(
@@ -572,18 +585,48 @@ class TrainingModule:
             "default XE step; the flag's contract is the GPipe "
             "compute/communication structure)", n_stages)
         criterion = self._loss_criterion()
-        mesh = make_pipe_mesh(n_stages)
+        mesh = make_pipe_mesh(n_stages, dp=self.pipeline_dp)
         model = self.model
         opt_w = self.opt_w
+        masked = self.mask_cfg is not None
+        sp_args = self._sparsity_loss_args() if masked else None
+        freeze_scope = [s for s in str(config.get("prune_mask_freeze_scope", "")).split(",") if s]
+        max_step = int(config.get("max_train_step", 1))
+        base_rng = jax.random.PRNGKey(int(config.get("seed", 8888)) + 1)
+        grad_update = self._grad_update
 
         @jax.jit
         def xe_step(state: TrainState, inputs: Dict, seq_masks, rng=None):
-            loss, gw = pipeline_xe_train_loss_and_grads(
-                model, state.params, inputs, seq_masks, criterion, mesh, n_micro)
-            uw, new_opt_w = opt_w.update(gw, state.opt_w, state.params)
-            params = optax.apply_updates(state.params, uw)
-            new_state = state.replace(params=params, opt_w=new_opt_w, step=state.step + 1)
-            return new_state, loss, {"caption_loss": loss}
+            if not masked:
+                loss, gw = pipeline_xe_train_loss_and_grads(
+                    model, state.params, inputs, seq_masks, criterion, mesh, n_micro)
+                uw, new_opt_w = opt_w.update(gw, state.opt_w, state.params)
+                params = optax.apply_updates(state.params, uw)
+                new_state = state.replace(params=params, opt_w=new_opt_w, step=state.step + 1)
+                return new_state, loss, {"caption_loss": loss}
+            if rng is None:
+                rng = jax.random.fold_in(base_rng, state.step)
+            mask_rng = rng if (self.mask_cfg.is_supermask) else None
+            loss, gw, gm = pipeline_xe_train_loss_and_grads(
+                model, state.params, inputs, seq_masks, criterion, mesh, n_micro,
+                masks=state.masks, mask_rng=mask_rng)
+            aux = {"caption_loss": loss}
+            if sp_args is not None:
+                # the sparsity loss reads only the mask logits, so its grad
+                # adds to the pipeline's mask grads separately
+                from sparse_caption_tpu.pruning.engine import compute_sparsity_loss
+
+                def sp_fn(masks):
+                    sp, sp_aux = compute_sparsity_loss(
+                        masks, sp_args[0], sp_args[1], state.step, max_step, freeze_scope)
+                    return sp, sp_aux
+
+                (sp, sp_aux), g_sp = jax.value_and_grad(sp_fn, has_aux=True)(state.masks)
+                loss = loss + sp
+                aux.update(sp_aux)
+                gm = jax.tree.map(jnp.add, gm, g_sp)
+            new_state = grad_update(state, gw, gm)
+            return new_state, loss, aux
 
         return xe_step
 

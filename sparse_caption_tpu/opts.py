@@ -123,9 +123,12 @@ def add_training_args(parser) -> None:
                         help="GPipe pipeline parallelism over the decoder layer stack: "
                              "shard L/N contiguous layers per stage over an N-device "
                              "('pipe',) mesh, microbatches hopping stages via ppermute "
-                             "(parallel/pipeline.py). XE-only, dense transformer-family "
-                             "models, deterministic forward (no dropout); mutually "
-                             "exclusive with --mesh_shape. num_layers % N must be 0")
+                             "(parallel/pipeline.py). XE-only, transformer-family models "
+                             "incl. pruned variants (supermasks sample once per step "
+                             "outside the pipeline — exact, since one step is one "
+                             "forward), deterministic forward (no dropout). Composes "
+                             "with a DATA-only --mesh_shape D as a (data, pipe) DxN "
+                             "mesh; a tensor axis is rejected. num_layers % N must be 0")
     parser.add_argument("--pipeline_microbatches", type=int, default=None,
                         help="microbatches per global batch for --pipeline_stages "
                              "(default N; bubble fraction (N-1)/(M+N-1) — choose M >> N)")

@@ -48,11 +48,22 @@ except ImportError:  # pragma: no cover - older jax
     from jax.experimental.shard_map import shard_map as _shard_map
 
 PIPE_AXIS = "pipe"
+DATA_AXIS = "data"
 
 
-def make_pipe_mesh(n_stages: int, devices: Sequence[Any] = None) -> Mesh:
-    """1-D mesh over the first ``n_stages`` devices, axis ``"pipe"``."""
+def make_pipe_mesh(n_stages: int, devices: Sequence[Any] = None, dp: int = 1) -> Mesh:
+    """Mesh for pipeline parallelism: 1-D ``("pipe",)`` over the first
+    ``n_stages`` devices, or — with ``dp > 1`` — a 2-D ``("data", "pipe")``
+    mesh over ``dp * n_stages`` devices (dp x pp composition: each data
+    shard runs its own lock-step pipeline over its slice of the
+    microbatches; gradients all-reduce over ``data`` automatically through
+    ``shard_map``'s replicated-input transpose rule)."""
     devices = list(devices) if devices is not None else jax.devices()
+    if dp > 1:
+        need = dp * n_stages
+        assert len(devices) >= need, (
+            f"dp x pp mesh needs {need} devices ({dp} x {n_stages}), have {len(devices)}")
+        return Mesh(np.array(devices[:need]).reshape(dp, n_stages), (DATA_AXIS, PIPE_AXIS))
     assert len(devices) >= n_stages, (
         f"pipe mesh needs {n_stages} devices, have {len(devices)}")
     return Mesh(np.array(devices[:n_stages]), (PIPE_AXIS,))
@@ -70,27 +81,42 @@ def stack_decoder_layers(params: Dict[str, Any]):
     return jax.tree.map(lambda *xs: jnp.stack(xs), *[params[k] for k in keys])
 
 
-def _layer_module(model):
-    # mirror of Transformer._setup_decoder's DecoderLayer construction
+def _layer_module(model, masked: bool = False):
+    # mirror of Transformer._setup_decoder's DecoderLayer construction.
+    # Masked stacks run with mask_freeze semantics (plain ``w * m``): the
+    # engine pre-samples supermasks outside the pipeline, so inside the
+    # stages every mask type is just a 0/1 multiplier.
     from sparse_caption_tpu.models.transformer import DecoderLayer
+    from sparse_caption_tpu.ops.masked import MaskConfig
 
+    cfg = MaskConfig(mask_type="mask_freeze") if masked else None
     return DecoderLayer(model.d_model, model.num_heads, model.dim_feedforward,
-                        model.dropout_rate, model.share_att_decoder, model.mask_cfg)
+                        model.dropout_rate, model.share_att_decoder, cfg)
 
 
 def pipelined_decoder_stack(model, params: Dict[str, Any], x, memory, src_mask,
-                            tgt_mask, mesh: Mesh, n_micro: int, stacked=None):
+                            tgt_mask, mesh: Mesh, n_micro: int, stacked=None,
+                            stacked_masks=None):
     """Run the decoder layer stack pipeline-parallel over ``mesh``.
 
     x: (B, T, D) embedded+position-encoded decoder input; memory: (B, S, D);
     src_mask: (B, 1, 1, S); tgt_mask: (B, 1, T, T). Returns the stack
     output (B, T, D) — pre-``decoder_norm``, like the sequential loop in
     ``Transformer._decode_full``.
+
+    Masked (pruned) models pass ``stacked_masks``: the per-layer masks
+    stacked like the params, applied as a plain ``w * m`` multiply inside
+    the stages (mask_freeze semantics).  Supermask TRAIN steps sample the
+    Bernoulli masks ONCE per step OUTSIDE the pipeline (one step = one
+    forward, so this is exactly the reference's fresh-sample-per-forward,
+    ``masked_layer.py:84-110``) and the straight-through gradient chains
+    through the sampled values back to the logits.
     """
     assert getattr(model, "share_layer_decoder", None) is None, (
         "pipeline parallelism needs one param set per layer (no share_layer)")
-    assert getattr(model, "mask_cfg", None) is None, (
-        "pipelined stack demo covers dense models (masks collection not plumbed)")
+    if getattr(model, "mask_cfg", None) is not None:
+        assert stacked_masks is not None, (
+            "masked model: pass stacked_masks (pre-sampled binary masks)")
     n_stages = mesh.shape[PIPE_AXIS]
     keys = decoder_layer_keys(params)
     n_layers = len(keys)
@@ -99,6 +125,9 @@ def pipelined_decoder_stack(model, params: Dict[str, Any], x, memory, src_mask,
     b = x.shape[0]
     assert b % n_micro == 0, f"batch {b} not divisible by n_micro={n_micro}"
     mb = b // n_micro
+    if DATA_AXIS in mesh.axis_names:
+        assert mb % mesh.shape[DATA_AXIS] == 0, (
+            f"microbatch {mb} not divisible by data axis {mesh.shape[DATA_AXIS]}")
 
     if stacked is None:
         stacked = stack_decoder_layers(params)
@@ -108,8 +137,13 @@ def pipelined_decoder_stack(model, params: Dict[str, Any], x, memory, src_mask,
         return a.reshape((n_micro, mb) + a.shape[1:])
 
     xs, mems, smasks, tmasks = (split(a) for a in (x, memory, src_mask, tgt_mask))
-    f = _cached_stage_jit(model, mesh, jax.tree.structure(stacked))
-    y = f(stacked, xs, mems, smasks, tmasks)
+    mask_treedef = (jax.tree.structure(stacked_masks)
+                    if stacked_masks is not None else None)
+    f = _cached_stage_jit(model, mesh, jax.tree.structure(stacked), mask_treedef)
+    if stacked_masks is not None:
+        y = f(stacked, stacked_masks, xs, mems, smasks, tmasks)
+    else:
+        y = f(stacked, xs, mems, smasks, tmasks)
     return y.reshape((b,) + y.shape[2:])
 
 
@@ -120,24 +154,27 @@ def pipelined_decoder_stack(model, params: Dict[str, Any], x, memory, src_mask,
 _PIPE_JIT_CACHE: Dict[Any, Any] = {}
 
 
-def _cached_stage_jit(model, mesh: Mesh, treedef):
+def _cached_stage_jit(model, mesh: Mesh, treedef, mask_treedef=None):
     cfg = (model.d_model, model.num_heads, model.dim_feedforward,
            model.dropout_rate, model.share_att_decoder)
-    key = (cfg, mesh, treedef)
+    key = (cfg, mesh, treedef, mask_treedef)
     if key in _PIPE_JIT_CACHE:
         return _PIPE_JIT_CACHE[key]
-    layer_mod = _layer_module(model)
+    masked = mask_treedef is not None
+    layer_mod = _layer_module(model, masked=masked)
     n_stages = mesh.shape[PIPE_AXIS]
 
-    def stage_fn(lp, xs, mems, smasks, tmasks):
+    def stage_fn(lp, lm, xs, mems, smasks, tmasks):
         idx = lax.axis_index(PIPE_AXIS)
         m_total = xs.shape[0]
 
         def apply_stack(h, mem, sm, tm):
-            def body(h, p):
-                return layer_mod.apply({"params": p}, h, mem, sm, tm, train=False), None
+            def body(h, pm):
+                p, m = pm
+                v = {"params": p, "masks": m} if masked else {"params": p}
+                return layer_mod.apply(v, h, mem, sm, tm, train=False), None
 
-            h, _ = lax.scan(body, h, lp)
+            h, _ = lax.scan(body, h, (lp, lm))
             return h
 
         out = jnp.zeros_like(xs)
@@ -168,8 +205,23 @@ def _cached_stage_jit(model, mesh: Mesh, treedef):
                         PIPE_AXIS)
 
     specs_p = jax.tree.unflatten(treedef, [P(PIPE_AXIS)] * treedef.num_leaves)
-    f = jax.jit(_shard_map(stage_fn, mesh=mesh,
-                           in_specs=(specs_p, P(), P(), P(), P()), out_specs=P()))
+    # dp x pp: activations shard their per-microbatch batch dim (axis 1)
+    # over the data axis; params/masks stay replicated across data (their
+    # cotangents psum over it via shard_map's transpose rule)
+    act = P(None, DATA_AXIS) if DATA_AXIS in mesh.axis_names else P()
+    if masked:
+        specs_m = jax.tree.unflatten(mask_treedef,
+                                     [P(PIPE_AXIS)] * mask_treedef.num_leaves)
+        f = jax.jit(_shard_map(stage_fn, mesh=mesh,
+                               in_specs=(specs_p, specs_m, act, act, act, act),
+                               out_specs=act))
+    else:
+        def stage_fn_dense(lp, xs, mems, smasks, tmasks):
+            return stage_fn(lp, None, xs, mems, smasks, tmasks)
+
+        f = jax.jit(_shard_map(stage_fn_dense, mesh=mesh,
+                               in_specs=(specs_p, act, act, act, act),
+                               out_specs=act))
     _PIPE_JIT_CACHE[key] = f
     return f
 
@@ -241,8 +293,23 @@ def pipeline_xe_loss_and_grads(model, variables: Dict[str, Any], seqs,
     return loss, grads
 
 
+def _sample_mask_tree(masks, cfg, rng):
+    """Sample every mask leaf with its own key (independent Bernoulli per
+    layer, like the per-layer ``make_rng`` draws of the in-model path);
+    differentiable via the STE custom_vjp.  Non-supermask types pass
+    through unchanged (they are already 0/1)."""
+    from sparse_caption_tpu.ops.masked import sample_mask
+
+    leaves, tdef = jax.tree.flatten(masks)
+    train = rng is not None
+    keys = list(jax.random.split(rng, len(leaves))) if train else [None] * len(leaves)
+    return tdef.unflatten([sample_mask(leaf, cfg, train, k)
+                           for leaf, k in zip(leaves, keys)])
+
+
 def pipeline_xe_train_loss_and_grads(model, params: Dict[str, Any], inputs: Dict[str, Any],
-                                     seq_masks, criterion, mesh: Mesh, n_micro: int):
+                                     seq_masks, criterion, mesh: Mesh, n_micro: int,
+                                     masks: Dict[str, Any] = None, mask_rng=None):
     """Full XE training loss + grads with the decoder stack pipelined —
     the ``--pipeline_stages`` engine path (vs :func:`pipeline_xe_loss_and_grads`,
     which treats the encoder output as a constant for the unit tests).
@@ -251,7 +318,17 @@ def pipeline_xe_train_loss_and_grads(model, params: Dict[str, Any], inputs: Dict
     encoder/embedding/generator gradients flow; the decoder-layer grads
     come back from the stage-sharded stacked copy and are unstacked into
     the params tree, so the optax update applies unchanged.  Deterministic
-    (no dropout) — documented in ``opts.py --pipeline_stages``."""
+    (no dropout) — documented in ``opts.py --pipeline_stages``.
+
+    Masked (pruned) models pass ``masks`` (the flax masks collection) and,
+    for supermask training, ``mask_rng``: the Bernoulli masks are sampled
+    ONCE per step via the STE (one step = one forward, exactly the
+    reference's fresh-sample-per-forward) and the whole model — encoder,
+    embeds, generator outside the pipeline, decoder layers inside —
+    consumes the sampled 0/1 values with plain ``w * m`` multiplies
+    (mask_freeze semantics), so the straight-through gradient reaches the
+    logits once, with no double-sigmoid factor.  Returns
+    ``(loss, grads, mask_grads)`` in that case."""
     from sparse_caption_tpu.models.transformer import subsequent_mask
 
     seqs = inputs["seqs"]
@@ -259,9 +336,33 @@ def pipeline_xe_train_loss_and_grads(model, params: Dict[str, Any], inputs: Dict
     layer_keys = decoder_layer_keys(params)
     stacked = stack_decoder_layers(params)
 
-    def loss_fn(p, stacked_layers):
+    masked = masks is not None
+    if masked:
+        from sparse_caption_tpu.ops.masked import MaskConfig
+
+        mask_cfg = model.mask_cfg
+        assert mask_cfg is not None, "masks passed for a dense model"
+        # the whole step consumes PRE-SAMPLED 0/1 masks as plain multipliers
+        fmodel = model.clone(mask_cfg=MaskConfig(mask_type="mask_freeze"))
+        mask_layer_keys = [k for k in layer_keys if k in masks]
+        assert mask_layer_keys == layer_keys, (
+            f"decoder-layer masks missing: {sorted(set(layer_keys) - set(masks))}")
+        stacked_m = stack_decoder_layers({k: masks[k] for k in layer_keys})
+        rest_m = {k: v for k, v in masks.items() if k not in set(layer_keys)}
+    else:
+        fmodel = model
+        stacked_m = None
+        rest_m = None
+
+    def loss_fn(p, stacked_layers, rm, sm):
         variables = {"params": p}
-        memory_pytree = model.apply(variables, **enc_inputs, train=False, method="encode")
+        sampled_sm = None
+        if masked:
+            k1, k2 = (jax.random.split(mask_rng) if mask_rng is not None
+                      else (None, None))
+            variables["masks"] = _sample_mask_tree(rm, mask_cfg, k1)
+            sampled_sm = _sample_mask_tree(sm, mask_cfg, k2)
+        memory_pytree = fmodel.apply(variables, **enc_inputs, train=False, method="encode")
         from sparse_caption_tpu.models.transformer import repeat_to_batch
 
         tgt = seqs[:, :-1]
@@ -270,16 +371,27 @@ def pipeline_xe_train_loss_and_grads(model, params: Dict[str, Any], inputs: Dict
         t = tgt.shape[1]
         tgt_mask = (tgt != model.pad_id)[:, None, None, :] & subsequent_mask(t)
         src_mask = mem_mask[:, None, None, :]
-        x = model.apply(variables, tgt,
-                        method=lambda m, tg: m.pos_enc(m.tgt_embed(tg, False), train=False))
+        x = fmodel.apply(variables, tgt,
+                         method=lambda m, tg: m.pos_enc(m.tgt_embed(tg, False), train=False))
         y = pipelined_decoder_stack(model, p, x, memory, src_mask, tgt_mask,
-                                    mesh, n_micro, stacked=stacked_layers)
-        lp = model.apply(variables, y,
-                         method=lambda m, h: m.generator(m.decoder_norm(h), False))
+                                    mesh, n_micro, stacked=stacked_layers,
+                                    stacked_masks=sampled_sm)
+        lp = fmodel.apply(variables, y,
+                          method=lambda m, h: m.generator(m.decoder_norm(h), False))
         return criterion(lp, seqs[:, 1:], seq_masks[:, 1:])
 
-    loss, (g_p, g_stacked) = jax.value_and_grad(loss_fn, argnums=(0, 1))(params, stacked)
+    if masked:
+        loss, (g_p, g_stacked, g_rm, g_sm) = jax.value_and_grad(
+            loss_fn, argnums=(0, 1, 2, 3))(params, stacked, rest_m, stacked_m)
+    else:
+        loss, (g_p, g_stacked) = jax.value_and_grad(
+            loss_fn, argnums=(0, 1))(params, stacked, rest_m, stacked_m)
     grads = {**g_p}
     for i, k in enumerate(layer_keys):
         grads[k] = jax.tree.map(lambda a, _i=i: a[_i], g_stacked)
-    return loss, grads
+    if not masked:
+        return loss, grads
+    mask_grads = {**g_rm}
+    for i, k in enumerate(layer_keys):
+        mask_grads[k] = jax.tree.map(lambda a, _i=i: a[_i], g_sm)
+    return loss, grads, mask_grads

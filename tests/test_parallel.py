@@ -520,3 +520,135 @@ def test_pipeline_guards():
         pipelined_decode_full(model, vs, tgt, memory, make_pipe_mesh(3), n_micro=4)
     with pytest.raises(AssertionError, match="n_micro"):
         pipelined_decode_full(model, vs, tgt, memory, make_pipe_mesh(2), n_micro=3)
+
+
+@pytest.mark.parametrize("n_stages,dp,n_micro", [(2, 2, 4), (2, 4, 2), (4, 2, 4)])
+def test_pipeline_dp_composition_matches_sequential(n_stages, dp, n_micro):
+    """dp x pp: the 2-D ("data", "pipe") mesh — each data shard running its
+    own lock-step pipeline over its microbatch slice — still equals the
+    sequential decoder stack."""
+    from sparse_caption_tpu.parallel.pipeline import make_pipe_mesh, pipelined_decode_full
+
+    model, vs, tgt, memory, seq = _tiny_transformer_forward()
+    mesh = make_pipe_mesh(n_stages, dp=dp)
+    assert dict(mesh.shape) == {"data": dp, "pipe": n_stages}
+    out = pipelined_decode_full(model, vs, tgt, memory, mesh, n_micro=n_micro)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(seq), rtol=2e-5, atol=2e-6)
+
+
+def test_pipeline_dp_train_grads_match_sequential():
+    """dp x pp BACKWARD: gradients through the data-sharded pipeline equal
+    the sequential backward (param cotangents psum over the data axis via
+    shard_map's replicated-input transpose rule)."""
+    from sparse_caption_tpu.engine import losses as losses_mod
+    from sparse_caption_tpu.parallel.pipeline import make_pipe_mesh, pipeline_xe_loss_and_grads
+
+    model, vs, tgt, memory, _ = _tiny_transformer_forward()
+    seqs = jnp.concatenate(
+        [jnp.full((tgt.shape[0], 1), model.bos_id, jnp.int32), tgt[:, :-1]], axis=1)
+
+    def seq_loss(params):
+        lp = model.apply({"params": params}, memory, seqs, False,
+                         method="decode_teacher_forced")
+        m = (seqs[:, 1:] != model.pad_id).astype(lp.dtype)
+        return losses_mod.language_model_loss(lp, seqs[:, 1:], m)
+
+    ref_loss, ref_g = jax.value_and_grad(seq_loss)(vs["params"])
+    mesh = make_pipe_mesh(2, dp=2)
+    loss, g = pipeline_xe_loss_and_grads(model, vs, seqs, memory, mesh, n_micro=4)
+    np.testing.assert_allclose(float(loss), float(ref_loss), rtol=2e-6)
+    flat_ref = jax.tree_util.tree_leaves_with_path(ref_g)
+    flat_g = dict(jax.tree_util.tree_flatten_with_path(g)[0])
+    for path, leaf in flat_ref:
+        np.testing.assert_allclose(np.asarray(flat_g[path]), np.asarray(leaf),
+                                   rtol=2e-4, atol=2e-6, err_msg=str(path))
+
+
+def test_pipeline_masked_stack_matches_sequential():
+    """Masked (supermask) decoder stack: eval-mode round-sigmoid masks
+    sampled OUTSIDE the pipeline and applied as plain multipliers inside
+    the stages equal the in-model masked sequential forward."""
+    from sparse_caption_tpu.models.transformer import Transformer
+    from sparse_caption_tpu.ops.masked import MaskConfig
+    from sparse_caption_tpu.parallel.pipeline import (
+        _sample_mask_tree,
+        make_pipe_mesh,
+        pipelined_decoder_stack,
+        stack_decoder_layers,
+    )
+
+    cfg = MaskConfig(mask_type="supermask", mask_init_value=0.1)
+    model = Transformer(vocab_size=16, d_model=8, dim_feedforward=16, num_layers=4,
+                        num_heads=2, att_feat_size=4, max_seq_length=5, mask_cfg=cfg)
+    rng = jax.random.PRNGKey(0)
+    att = jax.random.normal(rng, (8, 3, 4))
+    amask = jnp.ones((8, 3))
+    tgt = jax.random.randint(jax.random.PRNGKey(1), (8, 5), 0, 16)
+    vs = model.init({"params": rng, "mask": rng}, att, amask, tgt)
+    # perturb the logits so round(sigmoid) is a non-trivial 0/1 pattern
+    masks = jax.tree.map(
+        lambda m: m + 3.0 * jax.random.normal(jax.random.PRNGKey(7), m.shape), vs["masks"])
+    vs = {"params": vs["params"], "masks": masks}
+    memory = model.apply(vs, att, amask, method=Transformer.encode)
+    seq = model.apply(vs, tgt, memory["memory"], memory["mask"], False,
+                      method=Transformer._decode_full)  # eval: round-sigmoid masks
+
+    from sparse_caption_tpu.models.transformer import subsequent_mask
+
+    sampled = _sample_mask_tree(masks, cfg, None)  # eval-mode: deterministic
+    layer_masks = {k: v for k, v in sampled.items() if k.startswith("decoder_layers_")}
+    stacked_m = stack_decoder_layers(layer_masks)
+    t = tgt.shape[1]
+    tgt_mask = (tgt != model.pad_id)[:, None, None, :] & subsequent_mask(t)
+    src_mask = memory["mask"][:, None, None, :]
+    x = model.apply(vs, tgt,
+                    method=lambda m, tg: m.pos_enc(m.tgt_embed(tg, False), train=False))
+    y = pipelined_decoder_stack(model, vs["params"], x, memory["memory"], src_mask,
+                                tgt_mask, make_pipe_mesh(2), n_micro=4,
+                                stacked_masks=stacked_m)
+    out = model.apply(vs, y, method=lambda m, h: m.decoder_norm(h))
+    np.testing.assert_allclose(np.asarray(out), np.asarray(seq), rtol=2e-5, atol=2e-6)
+
+
+def test_pipeline_masked_train_grads_flow():
+    """pipeline_xe_train_loss_and_grads with masks: supermask Bernoulli
+    sampling outside the pipeline, straight-through mask grads reach every
+    logit tree (encoder + decoder layers), and N=1 == N=2 with the same
+    rng."""
+    from sparse_caption_tpu.models.transformer import Transformer
+    from sparse_caption_tpu.ops.masked import MaskConfig
+    from sparse_caption_tpu.engine.losses import language_model_loss
+    from sparse_caption_tpu.parallel.pipeline import (
+        make_pipe_mesh, pipeline_xe_train_loss_and_grads)
+
+    cfg = MaskConfig(mask_type="supermask", mask_init_value=1.0)
+    model = Transformer(vocab_size=16, d_model=8, dim_feedforward=16, num_layers=4,
+                        num_heads=2, att_feat_size=4, max_seq_length=5, mask_cfg=cfg)
+    rng = jax.random.PRNGKey(0)
+    att = jax.random.normal(rng, (8, 3, 4))
+    amask = jnp.ones((8, 3))
+    seqs = jax.random.randint(jax.random.PRNGKey(1), (8, 6), 4, 16)
+    vs = model.init({"params": rng, "mask": rng}, att, amask, seqs[:, :-1])
+    seq_masks = jnp.ones_like(seqs, jnp.float32)
+    crit = lambda lp, tgt, m: language_model_loss(lp, tgt, m)  # noqa: E731
+    inputs = {"att_feats": att, "att_masks": amask, "seqs": seqs}
+
+    results = {}
+    for n in (1, 2):
+        results[n] = pipeline_xe_train_loss_and_grads(
+            model, vs["params"], inputs, seq_masks, crit, make_pipe_mesh(n),
+            n_micro=4, masks=vs["masks"], mask_rng=jax.random.PRNGKey(5))
+    l1, g1, gm1 = results[1]
+    l2, g2, gm2 = results[2]
+    np.testing.assert_allclose(float(l1), float(l2), rtol=2e-6)
+    for a, b in zip(jax.tree.leaves(g1), jax.tree.leaves(g2)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), rtol=2e-4, atol=2e-6)
+    for a, b in zip(jax.tree.leaves(gm1), jax.tree.leaves(gm2)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), rtol=2e-4, atol=2e-6)
+    # straight-through grads reach both in-pipeline and outside-pipeline masks
+    flat = dict(jax.tree_util.tree_flatten_with_path(gm1)[0])
+    dec = [v for k, v in flat.items() if "decoder_layers" in str(k)]
+    other = [v for k, v in flat.items() if "decoder_layers" not in str(k)]
+    assert dec and other
+    assert max(float(jnp.max(jnp.abs(v))) for v in dec) > 0
+    assert max(float(jnp.max(jnp.abs(v))) for v in other) > 0

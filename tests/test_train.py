@@ -498,14 +498,80 @@ def test_train_pipeline_stages_flag(fixture_dataset, tmp_path):
         np.testing.assert_allclose(np.asarray(x), np.asarray(y), atol=1e-5)
 
 
+def test_train_pipeline_stages_masked(fixture_dataset, tmp_path):
+    """--pipeline_stages on a PRUNED model (supermask): masks sample once
+    per step outside the pipeline via the STE, the sparsity loss applies,
+    and N=1 == N=2 (losses and final params+masks)."""
+    import json
+
+    import jax
+    import numpy as np
+
+    from sparse_caption_tpu.engine.checkpoints import load_pytree
+
+    runs = {}
+    for n in (1, 2):
+        argv = tiny_args(fixture_dataset, tmp_path / f"mpipe{n}", "transformer_prune",
+                         TINY_TRANSFORMER + ["--num_layers", "2",
+                                             "--pipeline_stages", str(n),
+                                             "--prune_type", "supermask",
+                                             "--prune_sparsity_target", "0.5"])
+        runs[n] = run_train(argv, prune=True)
+    losses = {}
+    for n, mod in runs.items():
+        scal = os.path.join(mod.config.log_dir, "scalars.jsonl")
+        recs = [json.loads(ln) for ln in open(scal)]
+        losses[n] = [r["value"] for r in recs if r.get("tag") == "train/caption_loss"]
+        # the supermask sparsity loss is live on the pipelined path
+        assert any(r.get("tag") == "train/sparsity_loss" for r in recs)
+    assert losses[1] and len(losses[1]) == len(losses[2])
+    np.testing.assert_allclose(losses[1], losses[2], atol=1e-5)
+    for name in ("model_last.msgpack",):
+        a = load_pytree(os.path.join(runs[1].config.log_dir, name))
+        b = load_pytree(os.path.join(runs[2].config.log_dir, name))
+        for x, y in zip(jax.tree.leaves(a), jax.tree.leaves(b)):
+            np.testing.assert_allclose(np.asarray(x), np.asarray(y), atol=1e-5)
+    # masks actually moved (the STE gradient reaches the logits)
+    init = load_pytree(os.path.join(runs[1].config.log_dir, "model_init.msgpack"))
+    last = load_pytree(os.path.join(runs[1].config.log_dir, "model_last.msgpack"))
+    dm = max(float(np.max(np.abs(np.asarray(a) - np.asarray(b))))
+             for a, b in zip(jax.tree.leaves(init["masks"]), jax.tree.leaves(last["masks"])))
+    assert dm > 1e-4, f"mask logits never moved (max delta {dm})"
+
+
+def test_train_pipeline_dp_composition(fixture_dataset, tmp_path):
+    """--pipeline_stages 2 x --mesh_shape 2 (dp x pp over 4 devices) equals
+    the plain 2-stage pipeline run: data sharding changes nothing
+    numerically."""
+    import jax
+    import numpy as np
+
+    from sparse_caption_tpu.engine.checkpoints import load_pytree
+
+    runs = {}
+    for tag, extra in (("pp", []), ("dpp", ["--mesh_shape", "2"])):
+        # decoder batch = 2 imgs x 3 captions = 6; n_micro 3 -> microbatch 2,
+        # divisible by the dp=2 data axis
+        argv = tiny_args(fixture_dataset, tmp_path / f"c_{tag}", "transformer",
+                         TINY_TRANSFORMER + ["--num_layers", "2",
+                                             "--pipeline_stages", "2",
+                                             "--pipeline_microbatches", "3"] + extra)
+        runs[tag] = run_train(argv)
+    a = load_pytree(os.path.join(runs["pp"].config.log_dir, "model_last.msgpack"))
+    b = load_pytree(os.path.join(runs["dpp"].config.log_dir, "model_last.msgpack"))
+    for x, y in zip(jax.tree.leaves(a), jax.tree.leaves(b)):
+        np.testing.assert_allclose(np.asarray(x), np.asarray(y), atol=1e-5)
+
+
 def test_pipeline_stages_flag_guards(fixture_dataset, tmp_path):
-    """--pipeline_stages rejects masked models, --mesh_shape, and SCST."""
+    """--pipeline_stages rejects a tensor-parallel --mesh_shape and SCST
+    (data-only mesh_shape composes as dp x pp instead)."""
     import pytest as _pytest
 
     argv = tiny_args(fixture_dataset, tmp_path / "g1", "transformer",
                      TINY_TRANSFORMER + ["--num_layers", "2", "--pipeline_stages", "2",
-                                         "--mesh_shape", "2"])
-    with _pytest.raises(ValueError, match="mutually exclusive"):
+                                         "--mesh_shape", "2,2"])
+    with _pytest.raises(ValueError, match="tensor axis"):
         run_train(argv)
     argv = tiny_args(fixture_dataset, tmp_path / "g2", "transformer",
                      TINY_TRANSFORMER + ["--num_layers", "2", "--pipeline_stages", "2",
