@@ -46,6 +46,9 @@ precision (scripts/eval_model.py --cast bf16) and standard TPU practice.
   step is latency-bound; MFU quantifies how idle the chip is there).
 * updown_* / acort_*: the other two paper model families (Up-Down LSTM
   defaults rnn 1000; ACORT-base radix-768 + kv/layer sharing).
+  acort_scst_device_steps_per_sec runs ACORT SCST with the in-jit reward
+  (radix digits regrouped to word ids in-jit, round-5) — zero host syncs
+  for the radix family too.
 
 ``vs_baseline``: the reference repo publishes no throughput numbers
 (SURVEY §6); the baseline constant below is the estimated single-A100
@@ -782,7 +785,99 @@ def bench_acort(jax, jnp):
             state, loss = xe_step(state)
         np.asarray(loss)
         best = min(best, time.perf_counter() - t0)
-    return decode_cps, n / best
+    xe_sps = n / best
+
+    # ---- ACORT SCST with --scst_reward device (round-5 capability): the
+    # sampled RADIX digit ids are regrouped into word ids IN-JIT
+    # (scst/device_reward.py make_radix_to_word_fn) ahead of the word-level
+    # CIDEr-D scorer, so even ACORT's SCST loop runs with zero host syncs
+    # (previously host-reward-bound: the digits needed a host decode) ----
+    import os as _os
+    import tempfile as _tf
+
+    from sparse_caption_tpu.decoding.api import decode_train_keys
+    from sparse_caption_tpu.metrics.cider import CiderScorer, build_df_pickle
+    from sparse_caption_tpu.scst import device_reward as devr
+    from sparse_caption_tpu.tokenizers.radix import decimal_to_base
+
+    sb, n_samples = 5, 15  # the paper SCST config (batch 5 x 15 samples)
+    word_vocab = 10000
+    tpw = len(decimal_to_base(word_vocab - 4, 768))
+    grng = np.random.default_rng(21)
+    words = lambda ids: " ".join(f"w{i}" for i in ids)  # noqa: E731
+    gts = [[words(grng.integers(4, 200, grng.integers(8, 15))) for _ in range(5)]
+           for _ in range(sb)]
+    with _tf.TemporaryDirectory() as td:
+        dfp = _os.path.join(td, "df.p")
+        build_df_pickle(gts, dfp)
+        cs = CiderScorer.from_pickle(dfp)
+    tok2id = {"<pad>": 0, "<unk>": 1, "<bos>": 2, "<eos>": 3}
+    tok2id.update({f"w{i}": i for i in range(4, word_vocab)})
+    table = devr.DfTable.build(cs.df, cs.ref_len, tok2id)
+    regroup = devr.make_radix_to_word_fn(768, tpw, word_vocab)
+    score_dev = devr.make_reward_device_fn(table, eos_id=3, pad_id=0, bos_id=2,
+                                           regroup=regroup)
+    tbl_dev = table.device_arrays()
+    pack_dev = devr.ref_pack_device(
+        devr.build_ref_pack(gts, cs.df, cs.ref_len, tok2id, vocab_size=word_vocab))
+    img_idx = jnp.repeat(jnp.arange(sb), n_samples)
+    s_att, s_amask, s_boxes = att[:sb], amask[:sb], boxes[:sb]
+    sample_opt = {"num_random_sample": n_samples, "beam_size": 0,
+                  "max_seq_length": t_max, "temperature": 1.0, "decode_train": True}
+
+    @jax.jit
+    def scst_sample(params, step):
+        srng = jax.random.fold_in(base_rng, step + 7)
+        kd, kdec = jax.random.split(srng)
+        memory = model.apply({"params": params}, s_att, s_amask, s_boxes, train=True,
+                             rngs={"dropout": kd}, method="encode")
+        return generate(model, {"params": params}, memory, sample_opt, rng=kdec)[0]
+
+    @jax.jit
+    def scst_grad_dev(state, sample_seq):
+        srng = jax.random.fold_in(base_rng, state["step"] + 7)
+        flat = sample_seq.reshape(sb * n_samples, t_max)
+        sc = score_dev(flat, img_idx, tbl_dev, pack_dev)
+        rewards = sc - devr.leave_one_out_baseline(sc, n_samples)
+
+        def loss_fn(params):
+            kd, kdec = jax.random.split(srng)
+            memory = model.apply({"params": params}, s_att, s_amask, s_boxes, train=True,
+                                 rngs={"dropout": kd}, method="encode")
+            _, dropout_key, _, _ = decode_train_keys(kdec)
+            seqs_in = jnp.concatenate(
+                [jnp.full((sb * n_samples, 1), model.bos_id, jnp.int32), flat], axis=1)
+            lp = model.apply({"params": params}, memory, seqs_in, True,
+                             method="decode_teacher_forced", rngs={"dropout": dropout_key})
+            seq_lp = jnp.take_along_axis(lp, flat[..., None], axis=2)[..., 0]
+            mask = (flat != model.pad_id).astype(seq_lp.dtype)
+            return losses_mod.reward_loss(seq_lp, mask, rewards)
+
+        loss, gw = jax.value_and_grad(loss_fn)(state["params"])
+        uw, ow = opt_w.update(gw, state["ow"], state["params"])
+        import optax as _o
+
+        return {"params": _o.apply_updates(state["params"], uw), "ow": ow,
+                "step": state["step"] + 1}, loss
+
+    def run_scst(state, n_steps):
+        loss = None
+        for _ in range(n_steps):
+            seq = scst_sample(state["params"], state["step"])
+            state, loss = scst_grad_dev(state, seq)
+        np.asarray(loss)  # single sync (pure async dispatch otherwise)
+        return state
+
+    t0 = time.perf_counter()
+    state = run_scst(state, 1)
+    _log(f"acort scst-device warmup+compile: {time.perf_counter() - t0:.1f}s")
+    ns = 6
+    best = float("inf")
+    for _trial in range(_trials(2)):
+        t0 = time.perf_counter()
+        state = run_scst(state, ns)
+        best = min(best, time.perf_counter() - t0)
+    return decode_cps, xe_sps, ns / best
 
 
 class _Emitter:
@@ -960,8 +1055,9 @@ def main() -> None:
         em.update(updown_captions_per_sec=rnd(cps, 1), updown_xe_steps_per_sec=rnd(sps))
 
     def sec_acort():
-        cps, sps = bench_acort(jax, jnp)
-        em.update(acort_captions_per_sec=rnd(cps, 1), acort_xe_steps_per_sec=rnd(sps))
+        cps, sps, scst_sps = bench_acort(jax, jnp)
+        em.update(acort_captions_per_sec=rnd(cps, 1), acort_xe_steps_per_sec=rnd(sps),
+                  acort_scst_device_steps_per_sec=rnd(scst_sps))
 
     # (name, fn, estimated nominal cost in s — warm-cache relay, r3/r4 runs).
     # The scheduler SKIPS a section whose estimate does not fit the
@@ -978,7 +1074,7 @@ def main() -> None:
         ("scst_sparse", sec_scst_sparse, 170),
         ("scst_beam", sec_scst_beam, 110),
         ("updown", sec_updown, 110),
-        ("acort", sec_acort, 110),
+        ("acort", sec_acort, 150),
     ]
     skipped = []
     for name, fn, est in sections:
