@@ -446,7 +446,57 @@ def bench_ours_scst(iters: int, device_reward: bool = False) -> float:
     return iters / (time.perf_counter() - t0)
 
 
-def _run_isolated(which: str, args) -> float:
+# the XE step's dominant GEMM shapes (m, k, n) at the XE bench config:
+# generator logits, FFN in/out, attention projection, encoder att_embed
+GEMM_SHAPES = [(360, 512, 10000), (360, 512, 2048), (360, 2048, 512),
+               (360, 512, 512), (144, 2048, 512)]
+
+
+def bench_gemm_torch(iters: int = 30):
+    """fp32 GEMM GFLOP/s per shape under torch (oneDNN/MKL) — the
+    reference's matmul backend."""
+    import numpy as np
+    import torch
+
+    torch.set_num_threads(os.cpu_count() or 1)
+    out = []
+    for m, k, n in GEMM_SHAPES:
+        a = torch.tensor(np.random.default_rng(0).standard_normal((m, k)).astype(np.float32))
+        b = torch.tensor(np.random.default_rng(1).standard_normal((k, n)).astype(np.float32))
+        torch.mm(a, b)  # warmup
+        t0 = time.perf_counter()
+        for _ in range(iters):
+            c = torch.mm(a, b)
+        dt = time.perf_counter() - t0
+        assert c.shape == (m, n)
+        out.append(round(2.0 * m * k * n * iters / dt / 1e9, 2))
+    return out
+
+
+def bench_gemm_ours(iters: int = 30):
+    """fp32 GEMM GFLOP/s per shape under jitted XLA:CPU — our backend."""
+    import jax
+
+    jax.config.update("jax_platforms", "cpu")
+    import jax.numpy as jnp
+    import numpy as np
+
+    out = []
+    for m, k, n in GEMM_SHAPES:
+        a = jnp.asarray(np.random.default_rng(0).standard_normal((m, k)), jnp.float32)
+        b = jnp.asarray(np.random.default_rng(1).standard_normal((k, n)), jnp.float32)
+        f = jax.jit(lambda x, y: x @ y)
+        np.asarray(f(a, b))  # compile+warmup
+        t0 = time.perf_counter()
+        for _ in range(iters):
+            c = f(a, b)
+        np.asarray(c)
+        dt = time.perf_counter() - t0
+        out.append(round(2.0 * m * k * n * iters / dt / 1e9, 2))
+    return out
+
+
+def _run_isolated(which: str, args):
     """Run one sub-bench in a FRESH process: jax and torch contaminate each
     other's thread pools when benched in the same process (measured: our
     SCST step read 0.018 steps/s after torch benches ran vs 0.428 clean)."""
@@ -459,7 +509,7 @@ def _run_isolated(which: str, args) -> float:
         capture_output=True, text=True, timeout=3600,
     )
     assert r.returncode == 0, f"{which}: {r.stderr[-2000:]}"
-    return float(json.loads(r.stdout.strip().splitlines()[-1])["value"])
+    return json.loads(r.stdout.strip().splitlines()[-1])["value"]
 
 
 def main() -> None:
@@ -490,6 +540,8 @@ def main() -> None:
             "ours_scst": lambda: bench_ours_scst(args.train_iters),
             "ours_scst_device": lambda: bench_ours_scst(args.train_iters, device_reward=True),
             "ref_scst": lambda: bench_reference_scst(args.train_iters),
+            "gemm_ours": bench_gemm_ours,
+            "gemm_torch": bench_gemm_torch,
         }
         print(json.dumps({"value": fns[args.only]()}))
         return
@@ -520,6 +572,20 @@ def main() -> None:
             "ours_device_over_reference_scst_same_cpu": round(ours_scst_dev / ref_scst, 3),
             "train_config": f"XE {XE_B}x{XE_SPI} captions; SCST b{SCST_B} n{SCST_N} "
                             "random samples, sample-mean baseline",
+        })
+        # GEMM floor probe (XE-closure evidence): identical fp32 matmuls at
+        # the XE step's dominant shapes, torch (oneDNN) vs jitted XLA:CPU.
+        # If the backends' GEMM rates are ~equal, the XE ratio ceiling on
+        # CPU is set by the non-GEMM fraction XLA can fuse — the number to
+        # compare against ours_over_reference_xe_same_cpu.
+        g_ours = _run_isolated("gemm_ours", args)
+        g_torch = _run_isolated("gemm_torch", args)
+        ratios = [round(a / b, 3) for a, b in zip(g_ours, g_torch)]
+        out.update({
+            "gemm_shapes_mkn": GEMM_SHAPES,
+            "gemm_gflops_ours": g_ours,
+            "gemm_gflops_torch": g_torch,
+            "gemm_ratio_ours_over_torch": ratios,
         })
     print(json.dumps(out))
 

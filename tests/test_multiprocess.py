@@ -256,6 +256,8 @@ def test_two_process_train_matches_single_process(fixture_dataset, tmp_path):
             "--start_from", str(mp_dir), "--resume_training", "--mesh_shape", "4"],
         env=_env_with(4), capture_output=True, text=True, timeout=1800)
     assert r.returncode == 0, r.stderr[-4000:]
+    from sparse_caption_tpu.engine.checkpoints import load_pytree
+
     resumed = load_pytree(str(resume_dir / "optimizer_last.msgpack"))
     started = load_pytree(str(mp_dir / "optimizer_last.msgpack"))
     assert int(np.asarray(resumed["step"])) > int(np.asarray(started["step"]))
