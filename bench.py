@@ -93,7 +93,7 @@ import numpy as np
 BASELINE_CAPTIONS_PER_SEC = 100.0  # est. reference impl. on one A100, beam 5
 # Measured same-CPU ratios vs the LIVE reference (scripts/
 # bench_cpu_vs_reference.py, round-3 quiet-host run, fp32 paper-scale ORT).
-MEASURED_SAME_CPU = {"decode": 2.09, "xe": 1.19, "scst": 1.94}
+MEASURED_SAME_CPU = {"decode": 1.72, "xe": 1.05, "scst": 1.51}
 BUDGET_S = float(os.environ.get("SPARSE_CAPTION_BENCH_BUDGET_S", 1200))
 
 BATCH = int(os.environ.get("BENCH_BATCH", 2048))
@@ -1001,7 +1001,10 @@ def main() -> None:
         vs_reference_same_cpu_scst=MEASURED_SAME_CPU["scst"],
         vs_reference_same_cpu_basis=(
             "measured: scripts/bench_cpu_vs_reference.py, both frameworks on the identical "
-            "CPU, fp32 paper-scale ORT (round-3 quiet-host run)"),
+            "CPU, fp32 paper-scale ORT (round-5 quiet-host run, "
+            "resources/cpu_vs_reference_r5.json; the XE ratio is floored by the "
+            "XLA:CPU-vs-oneDNN GEMM gap — see the gemm_* probe keys — and does "
+            "not transfer to TPU)"),
         decode_batch=BATCH,
         device_kind=kind,
         peak_tflops_bf16=peak,

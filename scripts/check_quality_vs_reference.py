@@ -320,6 +320,14 @@ def run_reference(log_dir: str, epochs: int, seed: int) -> None:
     ref_mod = importlib.util.module_from_spec(spec)
     spec.loader.exec_module(ref_mod)
     ref_main = ref_mod.main
+    # the reference defines `logger` only under __main__ (its line 154), so
+    # driving main() programmatically leaves eval_test's logger.info
+    # (line 140) a NameError — reached only when val improves enough to
+    # write model_best.pth (the fold-rotated splits do; the degenerate
+    # 1-val-image default split never does)
+    import logging
+
+    ref_mod.logger = logging.getLogger("ref_train_transformer")
 
     argv = matched_args(log_dir, epochs, seed) + ["--id", "QUALAB"]
     config = RefConfig(**vars(ref_parse_opt(argv)))
