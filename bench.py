@@ -124,6 +124,18 @@ def _trials(k: int) -> int:
     return 1 if (time.perf_counter() - _T0) > 0.45 * BUDGET_S else k
 
 
+def _hot_jit(fn):
+    """jax.jit with the measured-win TPU compiler options for TRAIN-step
+    programs (scoped-VMEM 64 MiB: +11% on the XE step at batch 256 —
+    round-5 on-chip A/B, resources/ab_xla_flags_vmem_fine_r5.json;
+    utils/jax_setup.tpu_compiler_options). No-op off TPU."""
+    import jax
+
+    from sparse_caption_tpu.utils.jax_setup import tpu_compiler_options
+
+    return jax.jit(fn, compiler_options=tpu_compiler_options())
+
+
 def _bf16_tree(jnp, tree):
     import jax
 
@@ -239,7 +251,7 @@ def build_xe_step(jax, jnp, b: int = 15, bf16_compute: bool = False):
              "step": jnp.zeros((), jnp.int32)}
     base_rng = jax.random.PRNGKey(2)
 
-    @jax.jit
+    @_hot_jit
     def xe_step(state):
         # per-step keys derived in-jit from the carried step counter —
         # eager host fold_in ops are ~3 ms relay dispatches each
@@ -400,7 +412,7 @@ def bench_scst_step(jax, jnp, tmp_dir="/tmp/sc_bench", mask_type=None, sparsity=
         return {"params": _o.apply_updates(state["params"], uw), "ow": ow,
                 "step": state["step"] + 1}, loss
 
-    grad_fn = jax.jit(_update_body)
+    grad_fn = _hot_jit(_update_body)
 
     # ---- device-reward pieces (--scst_reward device): CIDEr-D in-jit
     from sparse_caption_tpu.metrics.cider import CiderScorer
@@ -416,7 +428,7 @@ def bench_scst_step(jax, jnp, tmp_dir="/tmp/sc_bench", mask_type=None, sparsity=
         devr.build_ref_pack(gts, _cs.df, _cs.ref_len, tok2id, vocab_size=VOCAB))
     dev_img_idx = jnp.repeat(jnp.arange(b), n_samples)
 
-    @jax.jit
+    @_hot_jit
     def grad_fn_dev(state, sample_seq, step):
         """REINFORCE grad with the reward computed on-device: the SCST loop
         never touches the host (engine make_scst_step --scst_reward device)."""
@@ -667,7 +679,7 @@ def bench_updown(jax, jnp):
     state = {"params": params, "ow": opt_w.init(params), "step": jnp.zeros((), jnp.int32)}
     base_rng = jax.random.PRNGKey(15)
 
-    @jax.jit
+    @_hot_jit
     def xe_step(state):
         k_drop, k_ss = jax.random.split(jax.random.fold_in(base_rng, state["step"]))
 
@@ -757,7 +769,7 @@ def bench_acort(jax, jnp):
     state = {"params": params, "ow": opt_w.init(params), "step": jnp.zeros((), jnp.int32)}
     base_rng = jax.random.PRNGKey(19)
 
-    @jax.jit
+    @_hot_jit
     def xe_step(state):
         k_drop = jax.random.fold_in(base_rng, state["step"])
 

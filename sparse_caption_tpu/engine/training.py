@@ -60,6 +60,16 @@ from sparse_caption_tpu.utils.misc import csv_append_row, dump_json
 logger = logging.getLogger(__name__)
 
 
+def _hot_jit(fn):
+    """``jax.jit`` with the measured-win TPU compiler options for the hot
+    TRAIN-step programs (utils/jax_setup.tpu_compiler_options: scoped-VMEM
+    64 MiB, +11% on the paper-dims XE step at batch 256 — round-5 on-chip
+    A/B, resources/ab_xla_flags_vmem_fine_r5.json). No-op off TPU."""
+    from sparse_caption_tpu.utils.jax_setup import tpu_compiler_options
+
+    return jax.jit(fn, compiler_options=tpu_compiler_options())
+
+
 class TrainState(struct.PyTreeNode):
     params: Any
     masks: Any
@@ -509,7 +519,7 @@ class TrainingModule:
         # takes this path; an explicit key (tests, bench) works unchanged.
         base_rng = jax.random.PRNGKey(int(self.config.get("seed", 8888)) + 1)
 
-        @jax.jit
+        @_hot_jit
         def xe_step(state: TrainState, inputs: Dict, seq_masks, rng=None):
             if rng is None:
                 rng = jax.random.fold_in(base_rng, state.step)
@@ -595,7 +605,7 @@ class TrainingModule:
         base_rng = jax.random.PRNGKey(int(config.get("seed", 8888)) + 1)
         grad_update = self._grad_update
 
-        @jax.jit
+        @_hot_jit
         def xe_step(state: TrainState, inputs: Dict, seq_masks, rng=None):
             if not masked:
                 loss, gw = pipeline_xe_train_loss_and_grads(
@@ -763,7 +773,7 @@ class TrainingModule:
             loss, grads = jax.value_and_grad(loss_fn, argnums=(0, 1))(state.params, state.masks)
             return self._grad_update(state, *grads), loss
 
-        @jax.jit
+        @_hot_jit
         def grad_fn(state: TrainState, inputs, sample_seq, rewards, rng=None, step=None):
             """Host-reward grad step.
 
@@ -785,7 +795,7 @@ class TrainingModule:
             score_dev = device_reward["fn"]
             tbl_dev = device_reward["tbl_dev"]
 
-            @jax.jit
+            @_hot_jit
             def grad_fn_dev(state: TrainState, inputs, sample_seq, greedy_seq, pack, step):
                 """Device-reward grad step: CIDEr-D(+BLEU) computed in-jit from
                 the sampled ids — the SCST loop never touches the host."""
@@ -1005,7 +1015,7 @@ class TrainingModule:
             score_dev = device_reward["fn"]
             tbl_dev = device_reward["tbl_dev"]
 
-        @jax.jit
+        @_hot_jit
         def fused(state: TrainState, inputs, pack=None, rng=None):
             if rng is None:
                 rng = jax.random.fold_in(fused_base_rng, state.step)

@@ -30,6 +30,37 @@ def ensure_host_device_count(n: int) -> None:
         flags + f" --xla_force_host_platform_device_count={int(n)}").strip()
 
 
+def tpu_compiler_options() -> dict | None:
+    """XLA:TPU compiler options carrying a measured win for the hot jits.
+
+    Round-5 A/B on the chip (scripts/ab_xla_flags.py,
+    resources/ab_xla_flags_vmem*_r5.json): raising
+    ``xla_tpu_scoped_vmem_limit_kib`` lets the fusion cost model keep
+    bigger fusions VMEM-resident — +11% on the paper-dims XE train step
+    at batch 256 at 64 MiB (monotone curve: 64M > 96M > 128M ~ 192M >
+    default), the only non-neutral knob in the 8-option sweep (layout/
+    fusion/scheduler flags all within noise, matching the r2-r4
+    model-level closures).
+
+    Returns None off-TPU (other backends reject unknown options).
+    Override the value via ``SPARSE_CAPTION_SCOPED_VMEM_KIB``; set it
+    empty to disable. Pass the result to ``jax.jit(...,
+    compiler_options=...)`` — the only override path that reaches a
+    relay's server-side compiler (client XLA_FLAGS do not propagate).
+    """
+    kib = os.environ.get("SPARSE_CAPTION_SCOPED_VMEM_KIB", "65536")
+    if not kib:
+        return None
+    try:
+        import jax
+
+        if jax.default_backend() != "tpu":
+            return None
+    except Exception:  # noqa: BLE001 — no backend is a valid state (docs builds)
+        return None
+    return {"xla_tpu_scoped_vmem_limit_kib": str(int(kib))}
+
+
 def enable_persistent_cache(cache_dir: str | None = None) -> None:
     """Enable the XLA persistent compilation cache (big win on slow hosts;
     TPU executables are cached too, cutting the ~20-40s first-compile cost
