@@ -125,9 +125,9 @@ def _trials(k: int) -> int:
 
 
 def _hot_jit(fn):
-    """jax.jit with the measured-win TPU compiler options for TRAIN-step
-    programs (scoped-VMEM 64 MiB: +11% on the XE step at batch 256 —
-    round-5 on-chip A/B, resources/ab_xla_flags_vmem_fine_r5.json;
+    """jax.jit with the measured-win TPU compiler options (scoped-VMEM
+    48 MiB: +11% on the XE step at batch 256, +3.0% on the beam-5 decode
+    at batch 2048 — round-5 on-chip A/Bs, resources/ab_xla_flags_*_r5.json;
     utils/jax_setup.tpu_compiler_options). No-op off TPU."""
     import jax
 
@@ -147,7 +147,7 @@ def _bf16_tree(jnp, tree):
 def bench_decode(jax, jnp, model, variables, att, amask, boxes):
     from sparse_caption_tpu.decoding import generate
 
-    @jax.jit
+    @_hot_jit
     def decode(variables, att, amask, boxes):
         memory = model.apply(variables, att, amask, boxes, method="encode")
         seq, _ = generate(model, variables, memory, {"beam_size": BEAM, "max_seq_length": MAX_LEN})
@@ -376,7 +376,7 @@ def bench_scst_step(jax, jnp, tmp_dir="/tmp/sc_bench", mask_type=None, sparsity=
         opt_d = dict(sample_opt, differentiable=True) if differentiable else sample_opt
         return generate(model, v, memory, opt_d, rng=kdec)
 
-    @jax.jit
+    @_hot_jit
     def sample_fn(params, step):
         # per-step key derived in-jit (mirrors engine/training.py): eager
         # host rng ops are ~3 ms relay dispatches each
@@ -571,12 +571,12 @@ def bench_scst_beam_step(jax, jnp, tmp_dir="/tmp/sc_bench"):
                              rngs={"dropout": kd, "mask": km}, method="encode")
         return generate(model, v, memory, beam_opt, rng=kdec)
 
-    @jax.jit
+    @_hot_jit
     def sample_fn(params, step):
         rng = jax.random.fold_in(base_rng, step)
         return train_sample(params, rng)[0]
 
-    @jax.jit
+    @_hot_jit
     def grad_fn(state, sample_seq, rewards):
         rng = jax.random.fold_in(base_rng, state["step"])
         flat = jax.lax.stop_gradient(sample_seq).reshape(b * n_beams, t)
@@ -645,7 +645,7 @@ def bench_updown(jax, jnp):
                            seqs0, fc_feats=fc[:2].astype(jnp.float32), train=True)
     variables = _bf16_tree(jnp, variables)
 
-    @jax.jit
+    @_hot_jit
     def decode(variables, att, amask, fc):
         memory = model.apply(variables, att, amask, fc, method="encode")
         seq, _ = generate(model, variables, memory, {"beam_size": BEAM, "max_seq_length": MAX_LEN})
@@ -739,7 +739,7 @@ def bench_acort(jax, jnp):
     variables = _bf16_tree(jnp, variables)
     att_b, amask_b = att.astype(jnp.bfloat16), amask.astype(jnp.bfloat16)
 
-    @jax.jit
+    @_hot_jit
     def decode(variables, att, amask, boxes):
         memory = model.apply(variables, att, amask, boxes, method="encode")
         seq, _ = generate(model, variables, memory, {"beam_size": BEAM, "max_seq_length": t_max})
@@ -837,7 +837,7 @@ def bench_acort(jax, jnp):
     sample_opt = {"num_random_sample": n_samples, "beam_size": 0,
                   "max_seq_length": t_max, "temperature": 1.0, "decode_train": True}
 
-    @jax.jit
+    @_hot_jit
     def scst_sample(params, step):
         srng = jax.random.fold_in(base_rng, step + 7)
         kd, kdec = jax.random.split(srng)
@@ -845,7 +845,7 @@ def bench_acort(jax, jnp):
                              rngs={"dropout": kd}, method="encode")
         return generate(model, {"params": params}, memory, sample_opt, rng=kdec)[0]
 
-    @jax.jit
+    @_hot_jit
     def scst_grad_dev(state, sample_seq):
         srng = jax.random.fold_in(base_rng, state["step"] + 7)
         flat = sample_seq.reshape(sb * n_samples, t_max)

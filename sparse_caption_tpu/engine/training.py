@@ -62,9 +62,10 @@ logger = logging.getLogger(__name__)
 
 def _hot_jit(fn):
     """``jax.jit`` with the measured-win TPU compiler options for the hot
-    TRAIN-step programs (utils/jax_setup.tpu_compiler_options: scoped-VMEM
-    64 MiB, +11% on the paper-dims XE step at batch 256 — round-5 on-chip
-    A/B, resources/ab_xla_flags_vmem_fine_r5.json). No-op off TPU."""
+    train/decode programs (utils/jax_setup.tpu_compiler_options:
+    scoped-VMEM 48 MiB — +11% on the paper-dims XE step at batch 256,
+    +3.0% on the beam-5 decode at batch 2048; round-5 on-chip A/Bs,
+    resources/ab_xla_flags_*_r5.json). No-op off TPU."""
     from sparse_caption_tpu.utils.jax_setup import tpu_compiler_options
 
     return jax.jit(fn, compiler_options=tpu_compiler_options())
@@ -653,7 +654,7 @@ class TrainingModule:
         opt = dict(opt)
         opt.setdefault("max_seq_length", int(self.config.get("max_seq_length", 18)) - 1)
 
-        @jax.jit
+        @_hot_jit
         def decode(variables, inputs, rng, step=0):
             # per-batch key derived IN-JIT (an eager fold_in per batch
             # would be a ~3 ms relay dispatch); without it, sampling eval
@@ -705,7 +706,7 @@ class TrainingModule:
         scst_base_rng = jax.random.fold_in(
             jax.random.PRNGKey(int(self.config.get("seed", 8888)) + 1), 0x5C57)
 
-        @jax.jit
+        @_hot_jit
         def sample_fn(variables, inputs, rng=None, step=None):
             if rng is None:
                 rng = jax.random.fold_in(scst_base_rng, step)

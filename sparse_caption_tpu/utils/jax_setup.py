@@ -36,11 +36,12 @@ def tpu_compiler_options() -> dict | None:
     Round-5 A/B on the chip (scripts/ab_xla_flags.py,
     resources/ab_xla_flags_vmem*_r5.json): raising
     ``xla_tpu_scoped_vmem_limit_kib`` lets the fusion cost model keep
-    bigger fusions VMEM-resident — +11% on the paper-dims XE train step
-    at batch 256 at 64 MiB (monotone curve: 64M > 96M > 128M ~ 192M >
-    default), the only non-neutral knob in the 8-option sweep (layout/
-    fusion/scheduler flags all within noise, matching the r2-r4
-    model-level closures).
+    bigger fusions VMEM-resident — +11% on the paper-dims XE train step at
+    batch 256 (48M == 64M > 96M > 128M ~ 192M > 32M-but-still-+10.5% >
+    default) and +3.0% on the beam-5 decode at batch 2048 at 48 MiB
+    (64M only +0.7% there), the only non-neutral knob in the 8-option
+    sweep (layout/fusion/scheduler flags all within noise, matching the
+    r2-r4 model-level closures). 48 MiB is optimal for BOTH workloads.
 
     Returns None off-TPU (other backends reject unknown options).
     Override the value via ``SPARSE_CAPTION_SCOPED_VMEM_KIB``; set it
@@ -48,7 +49,7 @@ def tpu_compiler_options() -> dict | None:
     compiler_options=...)`` — the only override path that reaches a
     relay's server-side compiler (client XLA_FLAGS do not propagate).
     """
-    kib = os.environ.get("SPARSE_CAPTION_SCOPED_VMEM_KIB", "65536")
+    kib = os.environ.get("SPARSE_CAPTION_SCOPED_VMEM_KIB", "49152")
     if not kib:
         return None
     try:
